@@ -1,0 +1,117 @@
+"""Image / flow resampling (pyramid construction and ingest regridding).
+
+Two distinct code paths exist in the reference and both are replicated:
+
+* the **solver pyramid** (device code, oct_variational_optical_flow.cu:352-466
+  and 520-563): blur at full resolution then *integer* point-sampling --
+  the bicubic call receives `int i2 = ii/factor`, so the fractional part is
+  zero and the bicubic degenerates to a floor-subsample of the blurred image;
+  flow upsampling is bicubic at half-pixel-offset positions divided by the
+  pyramid scale factor;
+* the **ingest zoom** (oct_zoom.cc): blur + bicubic at *real* positions
+  (zoom_out), and bicubic/nearest at half-pixel-offset positions (zoom_in),
+  used for multi-channel regridding and CTH remap.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import jax.numpy as jnp
+
+from octane_tpu.core.gaussian import (
+    gaussian_kernel_1d,
+    blur_separable,
+    solver_filtsize,
+    ingest_filtsize,
+)
+from octane_tpu.core.interp import bicubic_sample
+
+
+def zoom_size(n: int, factor: float) -> int:
+    """round-half-up size rule: int(n*factor + 0.5) (oct_zoom.cc:12-16)."""
+    return int(float(n) * factor + 0.5)
+
+
+def _weights_sigma(factor: float) -> float:
+    """Gaussian weight sigma for downsampling: 0.6*sqrt(1/f^2 - 1)
+    (fill_GK, oct_variational_optical_flow.cu:213; oct_zoom.cc:31)."""
+    return 0.6 * math.sqrt(1.0 / (factor * factor) - 1.0)
+
+
+def pyramid_downsample(img: jnp.ndarray, factor: float) -> jnp.ndarray:
+    """Solver-path downsample of a full-resolution (..., H, W) image.
+
+    Blur with the per-level solver kernel, then point-sample at
+    (trunc(jj/factor), trunc(ii/factor)) -- replicating the degenerate
+    integer-position bicubic of zoom_out (oct_variational_optical_flow.cu:
+    352-408, note `int i2 = ii/factor` at :369).
+    """
+    h, w = img.shape[-2], img.shape[-1]
+    nxx, nyy = zoom_size(w, factor), zoom_size(h, factor)
+    fs = solver_filtsize(factor)
+    kern = gaussian_kernel_1d(_weights_sigma(factor), fs)
+    blurred = blur_separable(img, kern, fs)
+    # static integer subsample indices (float32 division + trunc, like CUDA)
+    ii = np.trunc(np.arange(nxx, dtype=np.float32) / np.float32(factor)).astype(np.int32)
+    jj = np.trunc(np.arange(nyy, dtype=np.float32) / np.float32(factor)).astype(np.int32)
+    ii = np.clip(ii, 0, w - 1)
+    jj = np.clip(jj, 0, h - 1)
+    return blurred[..., jj[:, None], ii[None, :]]
+
+
+def zoom_in_flow(flow: jnp.ndarray, new_hw, scale_factor: float) -> jnp.ndarray:
+    """Upsample a flow field to the next pyramid level and rescale it.
+
+    Bicubic at i2 = ii/fx - (0.5 - 0.5/fx) (half-pixel centre offset), then
+    divided by ``scale_factor`` to convert displacements to the finer grid
+    (zoom_in, oct_variational_optical_flow.cu:450-466).
+    """
+    nyy, nxx = new_hw
+    h, w = flow.shape[-2], flow.shape[-1]
+    fx = np.float32(nxx) / np.float32(w)
+    fy = np.float32(nyy) / np.float32(h)
+    i2 = (np.arange(nxx, dtype=np.float32) / fx) - (np.float32(0.5) - np.float32(0.5) / fx)
+    j2 = (np.arange(nyy, dtype=np.float32) / fy) - (np.float32(0.5) - np.float32(0.5) / fy)
+    xg = np.broadcast_to(i2[None, :], (nyy, nxx))
+    yg = np.broadcast_to(j2[:, None], (nyy, nxx))
+    out = bicubic_sample(flow, jnp.asarray(xg), jnp.asarray(yg))
+    return out / jnp.float32(scale_factor)
+
+
+def zoom_out_image(img: jnp.ndarray, factor: float) -> jnp.ndarray:
+    """Ingest-path zoom out: blur + bicubic at real positions ii/factor
+    (oct_zoom_out_float, oct_zoom.cc:51-88)."""
+    h, w = img.shape[-2], img.shape[-1]
+    if factor >= 0.999999:
+        return img
+    nxx, nyy = zoom_size(w, factor), zoom_size(h, factor)
+    sigma = _weights_sigma(factor)
+    fs = ingest_filtsize(sigma)
+    kern = gaussian_kernel_1d(sigma, fs)
+    blurred = blur_separable(img, kern, fs)
+    i2 = (np.arange(nxx, dtype=np.float64) / factor).astype(np.float32)
+    j2 = (np.arange(nyy, dtype=np.float64) / factor).astype(np.float32)
+    xg = np.broadcast_to(i2[None, :], (nyy, nxx))
+    yg = np.broadcast_to(j2[:, None], (nyy, nxx))
+    return bicubic_sample(blurred, jnp.asarray(xg), jnp.asarray(yg))
+
+
+def zoom_in_image(img: jnp.ndarray, new_hw, bicubic: bool = True) -> jnp.ndarray:
+    """Ingest-path zoom in with half-pixel offset; bicubic or nearest
+    (oct_zoom_in_float, oct_zoom.cc:180-222; nearest used for CTH when
+    -nncth is set)."""
+    nyy, nxx = new_hw
+    h, w = img.shape[-2], img.shape[-1]
+    fx = np.float32(nxx) / np.float32(w)
+    fy = np.float32(nyy) / np.float32(h)
+    i2 = (np.arange(nxx, dtype=np.float32) / fx) - (np.float32(0.5) - np.float32(0.5) / fx)
+    j2 = (np.arange(nyy, dtype=np.float32) / fy) - (np.float32(0.5) - np.float32(0.5) / fy)
+    if bicubic:
+        xg = np.broadcast_to(i2[None, :], (nyy, nxx))
+        yg = np.broadcast_to(j2[:, None], (nyy, nxx))
+        return bicubic_sample(img, jnp.asarray(xg), jnp.asarray(yg))
+    i3 = np.clip((i2 + 0.5).astype(np.int32), 0, w - 1)
+    j3 = np.clip((j2 + 0.5).astype(np.int32), 0, h - 1)
+    return img[..., j3[:, None], i3[None, :]]

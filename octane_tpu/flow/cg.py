@@ -1,0 +1,124 @@
+"""Jacobi-preconditioned conjugate gradient for the coupled stencil system.
+
+Replaces the reference's in-kernel PCG (oct_variational_optical_flow.cu:
+1100-1183): the CSR SpMV becomes the matrix-free stencil apply, the
+shared-memory/atomicAdd dot products become jnp reductions (or `lax.psum`
+across a device mesh via the injectable ``dot`` argument), and the ~50 grid
+barriers per iteration are implicit in XLA dataflow.  Same math: x0 = 0,
+r = b, M = diag(A), stop on ||r||^2 <= tol or ``iters`` iterations.
+
+A red-black SOR relaxer is provided as an alternative that needs no global
+reductions except for the (optional) convergence check -- it shards better
+at very large mesh sizes.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def default_dot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    return jnp.sum(a * b, dtype=jnp.float32)
+
+
+class _PCGState(NamedTuple):
+    xu: jnp.ndarray
+    xv: jnp.ndarray
+    ru: jnp.ndarray
+    rv: jnp.ndarray
+    zu: jnp.ndarray
+    zv: jnp.ndarray
+    pu: jnp.ndarray
+    pv: jnp.ndarray
+    rz: jnp.ndarray
+    resid: jnp.ndarray
+    k: jnp.ndarray
+
+
+def pcg_solve(
+    apply_fn: Callable,          # (du, dv) -> (Au, Av)
+    diag_u: jnp.ndarray,
+    diag_v: jnp.ndarray,
+    bu: jnp.ndarray,
+    bv: jnp.ndarray,
+    tol: float,
+    iters: int,
+    dot: Callable = default_dot,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Solve A x = b from x = 0; returns (du, dv)."""
+    minv_u = 1.0 / diag_u
+    minv_v = 1.0 / diag_v
+    zero = jnp.zeros_like(bu)
+    ru, rv = bu, bv
+    zu, zv = minv_u * ru, minv_v * rv
+    resid0 = dot(ru, ru) + dot(rv, rv)
+    rz0 = dot(ru, zu) + dot(rv, zv)
+    init = _PCGState(zero, zero, ru, rv, zu, zv, zu, zv,
+                     rz0, resid0, jnp.int32(0))
+
+    def cond(s: _PCGState):
+        return (s.resid > tol) & (s.k < iters)
+
+    def body(s: _PCGState):
+        apu, apv = apply_fn(s.pu, s.pv)
+        pap = dot(s.pu, apu) + dot(s.pv, apv)
+        alpha = s.rz / pap
+        xu = s.xu + alpha * s.pu
+        xv = s.xv + alpha * s.pv
+        ru = s.ru - alpha * apu
+        rv = s.rv - alpha * apv
+        resid = dot(ru, ru) + dot(rv, rv)
+        zu = minv_u * ru
+        zv = minv_v * rv
+        rz = dot(ru, zu) + dot(rv, zv)
+        beta = rz / s.rz
+        pu = zu + beta * s.pu
+        pv = zv + beta * s.pv
+        return _PCGState(xu, xv, ru, rv, zu, zv, pu, pv, rz, resid, s.k + 1)
+
+    out = jax.lax.while_loop(cond, body, init)
+    return out.xu, out.xv
+
+
+def sor_solve(
+    sys,
+    tol: float,
+    iters: int,
+    omega: float = 1.9,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Red-black SOR on the coupled stencil system (alternative relaxer).
+
+    Each colour update is local given a 1-px halo; no global dot products
+    are required, which removes the per-iteration `psum` from the sharded
+    critical path.  Converges to the same solution as PCG (same system).
+    """
+    from octane_tpu.flow.stencil import apply_stencil
+
+    h, w = sys.bu.shape
+    jj = jnp.arange(h)[:, None]
+    ii = jnp.arange(w)[None, :]
+    red = ((ii + jj) % 2 == 0)
+
+    def colour_sweep(du, dv, mask):
+        au, av = apply_stencil(sys, du, dv)
+        # Solve the local 2x2 block (a1 a2; a2 a4) exactly for the residual.
+        ru = sys.bu - au
+        rv = sys.bv - av
+        det = sys.a1 * sys.a4 - sys.a2 * sys.a2
+        ndu = (sys.a4 * ru - sys.a2 * rv) / det
+        ndv = (sys.a1 * rv - sys.a2 * ru) / det
+        du = jnp.where(mask, du + omega * ndu, du)
+        dv = jnp.where(mask, dv + omega * ndv, dv)
+        return du, dv
+
+    def body(_, uv):
+        du, dv = uv
+        du, dv = colour_sweep(du, dv, red)
+        du, dv = colour_sweep(du, dv, ~red)
+        return du, dv
+
+    zero = jnp.zeros_like(sys.bu)
+    return jax.lax.fori_loop(0, iters, body, (zero, zero))

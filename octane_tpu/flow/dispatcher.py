@@ -1,0 +1,79 @@
+"""Flow computation orchestration.
+
+TPU-native equivalent of oct_optical_flow.cc: prepares the first guess
+(zeros, or navigated first-guess winds converted to pixel displacements),
+dispatches to the variational or patch-match engine, converts cloud-top
+heights to the short CTP product, navigates pixel displacements to winds,
+and optionally applies the bilateral smoother.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from octane_tpu.config import OFConfig
+from octane_tpu.io.datamodel import Scene
+from octane_tpu.flow.variational import variational_flow
+from octane_tpu.flow.patch_match import patch_match_flow
+from octane_tpu.nav.winds import pix2uv, uv2pix
+from octane_tpu.post.srsal import srsal_smooth
+
+
+def compute_flow(scene1: Scene, scene2: Scene, cfg: OFConfig) -> Scene:
+    """Fill scene1's flow products from the (scene1, scene2) image pair.
+
+    Mirrors oct_optical_flow (oct_optical_flow.cc:21-111); returns scene1
+    (fields filled in place on the dataclass).
+    """
+    h, w = scene1.shape
+    nav = scene1.nav
+    dt = scene2.t - scene1.t
+
+    # --- first guess (ref :37-53) -------------------------------------------
+    if cfg.do_firstguess and scene1.ufg is not None:
+        u0, v0 = uv2pix(
+            scene1.ufg, scene1.vfg, scene1.lat, scene1.lon,
+            scene1.x, scene1.y, nav, dt, grid=cfg.grid,
+        )
+    else:
+        u0 = jnp.zeros((h, w), jnp.float32)
+        v0 = jnp.zeros((h, w), jnp.float32)
+
+    # --- flow engine (ref :54-68) -------------------------------------------
+    if cfg.algorithm == "patch_match":
+        if scene1.nchannels > 1:
+            raise ValueError("patch match supports single-channel input only")
+        u, v = patch_match_flow(
+            scene1.data[0], scene2.data[0], u0, v0, cfg.rad, cfg.srad)
+    else:
+        u, v = variational_flow(scene1.data, scene2.data, u0, v0, cfg)
+
+    scene1.u_pix = np.asarray(u)
+    scene1.v_pix = np.asarray(v)
+
+    # --- CTP product (ref :71-88) -------------------------------------------
+    if cfg.do_cth and scene1.cth is not None:
+        cthv = np.asarray(scene1.cth)
+        if cfg.ir:
+            scene1.ctp = ((cthv - 300.0) * 100.0).astype(np.int16)
+        else:
+            scene1.ctp = cthv.astype(np.int16)
+
+    # --- navigate to winds (ref :91) ----------------------------------------
+    nav.g2x_offset = scene2.nav.x_offset if cfg.grid == "goes" else nav.x_offset
+    nav.g2y_offset = scene2.nav.y_offset if cfg.grid == "goes" else nav.y_offset
+    uw, vw, ur, vr = pix2uv(u, v, nav, dt, grid=cfg.grid, pixuv=cfg.pixuv)
+    scene1.u_wind = np.asarray(uw)
+    scene1.v_wind = np.asarray(vw)
+    scene1.u_raw = np.asarray(ur)
+    scene1.v_raw = np.asarray(vr)
+    scene1.dt = float(dt)
+
+    # --- optional anisotropic smoothing (ref :100-105) ----------------------
+    if cfg.do_srsal and scene1.cth is not None:
+        us, vs = srsal_smooth(u, v, scene1.cth)
+        scene1.u_pix = np.asarray(us)
+        scene1.v_pix = np.asarray(vs)
+
+    return scene1

@@ -1,0 +1,220 @@
+"""Euler-Lagrange system assembly and the matrix-free coupled 5-point stencil.
+
+The reference assembles a 2N x 2N CSR matrix whose u-row for pixel (i, j) is
+
+    [ a6 @ (i, j-1) | a5 @ (i-1, j) | a1 @ diag | a2 @ dv | a7 @ (i+1, j) | a8 @ (i, j+1) ]
+
+(and symmetrically for v with a4 on the diagonal) with mirror-at-1 boundary
+folding -- at an edge the out-of-range neighbour coefficient is added onto the
+opposite interior neighbour (oct_variational_optical_flow.cu:868-1077).
+Here the same operator is applied matrix-free: the coefficients live in seven
+(H, W) fields and the SpMV is six shifted multiply-adds, which is what a TPU
+VPU wants and what shards cleanly with halo exchange.
+
+``assemble`` reproduces the data/smoothness-term math of the assembly loop
+(oct_variational_optical_flow.cu:611-1097) exactly: bilinear warping with
+clamped positions (warped gradients zeroed where the warp clamped), Zimmer
+normalization, graduated non-convexity blending and the lagged-diffusivity
+smoothness weights.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from octane_tpu.core.bc import mirror_shift
+from octane_tpu.core.psi import psi_deriv
+
+
+class StencilSystem(NamedTuple):
+    """Coefficient fields of the coupled 5-point system A w = b."""
+
+    a1: jnp.ndarray   # u-diagonal
+    a2: jnp.ndarray   # u<->v coupling (symmetric)
+    a4: jnp.ndarray   # v-diagonal
+    a5: jnp.ndarray   # west  (i-1, j)
+    a6: jnp.ndarray   # north (i, j-1)
+    a7: jnp.ndarray   # east  (i+1, j)
+    a8: jnp.ndarray   # south (i, j+1)
+    bu: jnp.ndarray   # rhs, u equation
+    bv: jnp.ndarray   # rhs, v equation
+
+
+def apply_stencil(sys: StencilSystem, du: jnp.ndarray, dv: jnp.ndarray):
+    """Matrix-free A @ (du, dv) with mirror-at-1 boundary handling."""
+    def op(f):
+        return (
+            sys.a5 * mirror_shift(f, -1, -1)
+            + sys.a7 * mirror_shift(f, 1, -1)
+            + sys.a6 * mirror_shift(f, -1, -2)
+            + sys.a8 * mirror_shift(f, 1, -2)
+        )
+
+    au = sys.a1 * du + sys.a2 * dv + op(du)
+    av = sys.a2 * du + sys.a4 * dv + op(dv)
+    return au, av
+
+
+def _sq(x):
+    return x * x
+
+
+def _bilinear_coefs(u, v, h, w):
+    """Warp positions + bilinear coefficients with the solver's clamping.
+
+    Returns (idx00, p1, p2, p3, p4, bc_x, bc_y) where idx00 is the flat index
+    of the cell origin and bc_x/bc_y flag positions that were clamped
+    (oct_variational_optical_flow.cu:727-758).
+    """
+    ii = jnp.arange(w, dtype=jnp.float32)[None, :]
+    jj = jnp.arange(h, dtype=jnp.float32)[:, None]
+    px = ii + u
+    py = jj + v
+    bc_x = (px < 0.0) | (px >= w)
+    bc_y = (py < 0.0) | (py >= h)
+    # oct_bc_cu sets x = nx-1 only when x >= nx; values in (nx-1, nx) pass
+    # through unchanged (oct_variational_optical_flow.cu:26-41).
+    iv = jnp.where(px < 0.0, 0.0, jnp.where(px >= w, float(w - 1), px))
+    jv = jnp.where(py < 0.0, 0.0, jnp.where(py >= h, float(h - 1), py))
+    iv1 = jnp.minimum(iv.astype(jnp.int32), w - 2)
+    jv1 = jnp.minimum(jv.astype(jnp.int32), h - 2)
+    p1 = (iv1 + 1).astype(jnp.float32) - iv
+    p2 = iv - iv1.astype(jnp.float32)
+    p3 = (jv1 + 1).astype(jnp.float32) - jv
+    p4 = jv - jv1.astype(jnp.float32)
+    idx00 = jv1 * w + iv1
+    return idx00, p1, p2, p3, p4, bc_x, bc_y
+
+
+def _warp_gather(field2d, idx00, p1, p2, p3, p4, w):
+    """Bilinear sample of a (H, W) field at precomputed cell/coefs."""
+    flat = field2d.reshape(-1)
+    f11 = jnp.take(flat, idx00)
+    f21 = jnp.take(flat, idx00 + 1)
+    f12 = jnp.take(flat, idx00 + w)
+    f22 = jnp.take(flat, idx00 + w + 1)
+    return p3 * (p1 * f11 + p2 * f21) + p4 * (p1 * f12 + p2 * f22)
+
+
+def assemble(
+    geo1, geo2, gx1, gy1, gx2, gy2, gxx, gxy, gyy,
+    u, v, uhat, vhat,
+    al1, alpha, lam_over_alpha, lambdac, dozim: bool,
+) -> StencilSystem:
+    """Build the linearized Euler-Lagrange system around the current (u, v).
+
+    Arguments are (C, H, W) image/gradient stacks and (H, W) flow fields.
+    ``al1`` is the graduated-non-convexity blend (1, 0.5, 0 over the three
+    GNC steps); ``lambdac`` is the per-level hinting weight (already divided
+    by alpha and decayed 0.5^k).
+    """
+    c_, h, w = geo1.shape
+    f32 = jnp.float32
+    al1 = jnp.asarray(al1, f32)
+    one_m_al1 = 1.0 - al1
+
+    # --- smoothness weights from mirror-shifted neighbours (ref :654-725) ---
+    uW = mirror_shift(u, -1, -1)
+    uE = mirror_shift(u, 1, -1)
+    uN = mirror_shift(u, -1, -2)
+    uS = mirror_shift(u, 1, -2)
+    uNE = mirror_shift(uE, -1, -2)
+    uSE = mirror_shift(uE, 1, -2)
+    uNW = mirror_shift(uW, -1, -2)
+    uSW = mirror_shift(uW, 1, -2)
+    vW = mirror_shift(v, -1, -1)
+    vE = mirror_shift(v, 1, -1)
+    vN = mirror_shift(v, -1, -2)
+    vS = mirror_shift(v, 1, -2)
+    vNE = mirror_shift(vE, -1, -2)
+    vSE = mirror_shift(vE, 1, -2)
+    vNW = mirror_shift(vW, -1, -2)
+    vSW = mirror_shift(vW, 1, -2)
+
+    u_ip1 = _sq(uE - u) + _sq(0.25 * ((uSE - uNE) + (uS - uN))) \
+        + _sq(vE - v) + _sq(0.25 * ((vSE - vNE) + (vS - vN)))
+    u_im1 = _sq(u - uW) + _sq(0.25 * ((uSW - uNW) + (uS - uN))) \
+        + _sq(v - vW) + _sq(0.25 * ((vSW - vNW) + (vS - vN)))
+    u_jp1 = _sq(uS - u) + _sq(0.25 * ((uSE - uSW) + (uE - uW))) \
+        + _sq(vS - v) + _sq(0.25 * ((vSE - vSW) + (vE - vW)))
+    u_jm1 = _sq(u - uN) + _sq(0.25 * ((uNE - uNW) + (uE - uW))) \
+        + _sq(v - vN) + _sq(0.25 * ((vNE - vNW) + (vE - vW)))
+
+    psis1 = psi_deriv(u_im1)   # west
+    psis2 = psi_deriv(u_jm1)   # north
+    psis3 = psi_deriv(u_ip1)   # east
+    psis4 = psi_deriv(u_jp1)   # south
+    psistot = psis1 + psis2 + psis3 + psis4
+    psisnmiu = psis1 * uW + psis2 * uN + psis3 * uE + psis4 * uS
+    psisnmiv = psis1 * vW + psis2 * vN + psis3 * vE + psis4 * vS
+    psisnmiuq = uW + uN + uE + uS
+    psisnmivq = vW + vN + vE + vS
+
+    # --- warped data terms, accumulated over channels (ref :727-829) --------
+    idx00, p1, p2, p3, p4, bc_x, bc_y = _bilinear_coefs(u, v, h, w)
+    zero = jnp.zeros((h, w), f32)
+    vr1 = vr2 = vr4 = vr5 = vr6 = intcomp = zero
+    vr12 = vr22 = vr42 = vr52 = vr62 = intcomp2 = zero
+    for c in range(c_):
+        samp = lambda a: _warp_gather(a[c], idx00, p1, p2, p3, p4, w)
+        g2w = samp(geo2)
+        ix = samp(gx2)
+        iy = samp(gy2)
+        ixx = samp(gxx)
+        ixy = samp(gxy)
+        iyy = samp(gyy)
+        # zero warped gradients where the warp clamped (ref :767-779)
+        ix = jnp.where(bc_x, 0.0, ix)
+        ixx = jnp.where(bc_x, 0.0, ixx)
+        iyy = jnp.where(bc_y, 0.0, iyy)
+        ixy = jnp.where(bc_x | bc_y, 0.0, ixy)
+        iy = jnp.where(bc_y, 0.0, iy)
+
+        it = g2w - geo1[c]
+        ixt = ix - gx1[c]
+        iyt = iy - gy1[c]
+        if dozim:
+            na = 1.0 / (ix * ix + iy * iy + 1.0)
+            nb = 1.0 / (ixx * ixx + ixy * ixy + 1.0)
+            nc = 1.0 / (ixy * ixy + iyy * iyy + 1.0)
+        else:
+            na = nb = nc = jnp.ones((h, w), f32)
+        intcomp = intcomp + na * it * it
+        intcomp2 = intcomp2 + nb * ixt * ixt + nc * iyt * iyt
+        vr1 = vr1 + na * ix * ix
+        vr12 = vr12 + nb * ixx * ixx + nc * ixy * ixy
+        vr2 = vr2 + na * ix * iy
+        vr22 = vr22 + nb * ixx * ixy + nc * iyy * ixy
+        vr4 = vr4 + na * iy * iy
+        vr42 = vr42 + nb * ixy * ixy + nc * iyy * iyy
+        vr5 = vr5 + (-na * it) * ix
+        vr52 = vr52 - (nb * ixt * ixx + nc * iyt * ixy)
+        vr6 = vr6 + (-na * it) * iy
+        vr62 = vr62 - (nb * ixt * ixy + nc * iyt * iyy)
+
+    psid = psi_deriv(intcomp) / alpha
+    psid2 = lam_over_alpha * psi_deriv(intcomp2)
+
+    # --- stencil coefficients (ref :837-865) --------------------------------
+    a1 = al1 * (vr1 / alpha + lam_over_alpha * vr12 + lambdac + 4.0) \
+        + one_m_al1 * (psid * vr1 + psid2 * vr12 + lambdac + psistot)
+    a2 = al1 * (vr2 / alpha + lam_over_alpha * vr22) \
+        + one_m_al1 * (psid * vr2 + psid2 * vr22)
+    a4 = al1 * (vr4 / alpha + lam_over_alpha * vr42 + lambdac + 4.0) \
+        + one_m_al1 * (psid * vr4 + psid2 * vr42 + lambdac + psistot)
+    a5 = -(al1 + one_m_al1 * psis1)
+    a6 = -(al1 + one_m_al1 * psis2)
+    a7 = -(al1 + one_m_al1 * psis3)
+    a8 = -(al1 + one_m_al1 * psis4)
+
+    # --- right-hand side (ref :1086-1093) -----------------------------------
+    hint_u = lambdac * (u - uhat)
+    hint_v = lambdac * (v - vhat)
+    bu = al1 * (vr5 / alpha + lam_over_alpha * vr52 - hint_u + psisnmiuq - 4.0 * u) \
+        + one_m_al1 * (psid * vr5 + psid2 * vr52 - hint_u + psisnmiu - psistot * u)
+    bv = al1 * (vr6 / alpha + lam_over_alpha * vr62 - hint_v + psisnmivq - 4.0 * v) \
+        + one_m_al1 * (psid * vr6 + psid2 * vr62 - hint_v + psisnmiv - psistot * v)
+
+    return StencilSystem(a1, a2, a4, a5, a6, a7, a8, bu, bv)

@@ -1,0 +1,122 @@
+"""Coarse-to-fine variational optical flow (modified Zimmer / Brox).
+
+TPU-native redesign of the reference's cooperative-groups mega-kernel
+(oct_variational_optical_flow.cu:468-1211).  The pyramid is a Python loop
+over levels (each level has its own static shapes and its own jitted
+program); graduated non-convexity and the relinearization iterations run
+inside the jit as a `lax.fori_loop`; the PCG solve is a `lax.while_loop`
+with the same stopping rule (||r||^2 <= 1e-8, <= cgiters iterations).
+
+Numerics replicated exactly (see SURVEY.md section 8): per-level images are
+blurred-then-floor-subsampled from full resolution, first-guess "hat" fields
+are downsampled the same way and scaled by the level factor, flow upsampling
+is half-pixel bicubic divided by the scale factor, and the hinting weight
+decays as lambdac * 0.5^k (oct_variational_optical_flow.cu:487-575,493).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from octane_tpu.config import OFConfig
+from octane_tpu.core.gradients import gradient_4th
+from octane_tpu.core.zoom import pyramid_downsample, zoom_in_flow, zoom_size
+from octane_tpu.flow.stencil import assemble, apply_stencil
+from octane_tpu.flow.cg import pcg_solve, sor_solve
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("liters", "cgiters", "gnc_steps", "dozim", "solver"),
+)
+def solve_level(
+    g1, g2, u, v, uhat, vhat,
+    alpha, lam_over_alpha, lambdac, tol,
+    liters: int, cgiters: int, gnc_steps: int, dozim: bool, solver: str = "pcg",
+):
+    """Run GNC x inner iterations at one pyramid level.
+
+    g1/g2: (C, H, W) level images; u/v: initial flow; uhat/vhat: first-guess
+    hint fields at this level.  Returns the updated (u, v).
+    """
+    gx1, gy1 = gradient_4th(g1)
+    gx2, gy2 = gradient_4th(g2)
+    gxx, _ = gradient_4th(gx2)
+    gxy, gyy = gradient_4th(gy2)   # Ixy = d/dx (d/dy geo2), as in ref :591-594
+
+    def inner(t, uv):
+        u, v = uv
+        al1 = 1.0 - 0.5 * (t // liters).astype(jnp.float32)
+        sys = assemble(
+            g1, g2, gx1, gy1, gx2, gy2, gxx, gxy, gyy,
+            u, v, uhat, vhat, al1, alpha, lam_over_alpha, lambdac, dozim,
+        )
+        if solver == "sor":
+            du, dv = sor_solve(sys, tol, cgiters)
+        else:
+            du, dv = pcg_solve(
+                lambda a, b: apply_stencil(sys, a, b),
+                sys.a1, sys.a4, sys.bu, sys.bv, tol, cgiters,
+            )
+        return u + du, v + dv
+
+    u, v = jax.lax.fori_loop(0, gnc_steps * liters, inner, (u, v))
+    return u, v
+
+
+def variational_flow(
+    geo1: jnp.ndarray,
+    geo2: jnp.ndarray,
+    u0: jnp.ndarray,
+    v0: jnp.ndarray,
+    cfg: OFConfig,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Full coarse-to-fine solve.
+
+    geo1/geo2: (C, H, W) float32 images normalized to [0, 255];
+    u0/v0: (H, W) float32 first-guess pixel displacements (zeros if none).
+    Returns (u, v) dense pixel displacements at full resolution.
+    """
+    geo1 = jnp.asarray(geo1, jnp.float32)
+    geo2 = jnp.asarray(geo2, jnp.float32)
+    if geo1.ndim == 2:
+        geo1 = geo1[None]
+        geo2 = geo2[None]
+    u0 = jnp.asarray(u0, jnp.float32)
+    v0 = jnp.asarray(v0, jnp.float32)
+    h, w = u0.shape
+    kiters = cfg.kiters
+
+    u = v = None
+    for k in range(kiters):
+        factor = float(np.float32(cfg.scale_factor) ** (kiters - k - 1))
+        nxx, nyy = zoom_size(w, factor), zoom_size(h, factor)
+        lambdac_k = (cfg.lambdac / cfg.alpha) * (0.5 ** k)
+
+        if k == kiters - 1:
+            g1, g2 = geo1, geo2
+            uhat, vhat = u0, v0
+        else:
+            g1 = pyramid_downsample(geo1, factor)
+            g2 = pyramid_downsample(geo2, factor)
+            uhat = pyramid_downsample(u0, factor) * jnp.float32(factor)
+            vhat = pyramid_downsample(v0, factor) * jnp.float32(factor)
+
+        if k == 0:
+            u, v = uhat, vhat
+        else:
+            u = zoom_in_flow(u, (nyy, nxx), cfg.scale_factor)
+            v = zoom_in_flow(v, (nyy, nxx), cfg.scale_factor)
+
+        u, v = solve_level(
+            g1, g2, u, v, uhat, vhat,
+            jnp.float32(cfg.alpha), jnp.float32(cfg.lambda_over_alpha),
+            jnp.float32(lambdac_k), jnp.float32(cfg.cg_tol),
+            cfg.liters, cfg.cgiters, cfg.gnc_steps, cfg.dozim, cfg.solver,
+        )
+    return u, v

@@ -1,0 +1,236 @@
+"""File ingest: GOES-R L1b, polar/mercator grids, CLAVR-x CTH, first guess.
+
+TPU-native equivalent of oct_fileread.cc.  GOES-R L1b "netCDF4" files are
+HDF5 containers, so ingest is built on h5py (no libnetcdf dependency in this
+image); variables and attributes are read by the same names the reference
+uses (oct_fileread.cc:99-263).  Navigation + calibration + normalization run
+as one jitted elementwise pass on device (octane_tpu.nav.goes.navcal_goes).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+try:
+    import h5py
+except ImportError:                                    # pragma: no cover
+    h5py = None
+
+from octane_tpu.config import OFConfig
+from octane_tpu.core.normalize import band_min_max
+from octane_tpu.core.zoom import zoom_in_image, zoom_out_image
+from octane_tpu.io.datamodel import NavConstants, Scene
+from octane_tpu.nav.goes import navcal_goes
+
+DTOR = math.pi / 180.0
+
+
+def _require_h5py():
+    if h5py is None:
+        raise RuntimeError("h5py is required for file ingest")
+
+
+def _scalar(ds):
+    v = np.asarray(ds[()])
+    return v.reshape(-1)[0] if v.ndim else v.item() if hasattr(v, "item") else v
+
+
+def _attr(var, name):
+    v = var.attrs[name]
+    if isinstance(v, bytes):
+        return v.decode()
+    arr = np.asarray(v).reshape(-1)
+    if arr.dtype.kind in "SU":
+        s = arr[0]
+        return s.decode() if isinstance(s, bytes) else str(s)
+    return arr[0]
+
+
+def _tuple_set(tup, idx, val):
+    lst = list(tup)
+    lst[idx] = float(val)
+    return tuple(lst)
+
+
+def read_scene(
+    path: str,
+    cfg: OFConfig,
+    donav: bool = True,
+    channel: int = 1,
+    scene: Optional[Scene] = None,
+) -> Scene:
+    """Read one GOES-R L1b file into a Scene (oct_goesread, oct_fileread.cc:43-419).
+
+    ``channel`` 1 reads the primary grid and navigation; channels 2/3 read
+    auxiliary bands and regrid them onto the channel-1 grid.
+    """
+    _require_h5py()
+    if cfg.grid != "goes":
+        return _read_flat_grid(path, cfg, donav, scene)
+
+    with h5py.File(path, "r") as f:
+        rad = f["Rad"]
+        x = np.asarray(f["x"][()], np.int16)
+        y = np.asarray(f["y"][()], np.int16)
+        band = int(_scalar(f["band_id"]))
+        counts = np.asarray(rad[()], np.int16)
+        h, w = counts.shape
+
+        ci = channel - 1
+        if scene is None:
+            nav = NavConstants(grid="goes")
+        else:
+            nav = scene.nav
+        nav.rad_scale = _tuple_set(nav.rad_scale, ci, _attr(rad, "scale_factor"))
+        nav.rad_offset = _tuple_set(nav.rad_offset, ci, _attr(rad, "add_offset"))
+        nav.fk1 = _tuple_set(nav.fk1, ci, _scalar(f["planck_fk1"]))
+        nav.fk2 = _tuple_set(nav.fk2, ci, _scalar(f["planck_fk2"]))
+        nav.bc1 = _tuple_set(nav.bc1, ci, _scalar(f["planck_bc1"]))
+        nav.bc2 = _tuple_set(nav.bc2, ci, _scalar(f["planck_bc2"]))
+        nav.kap1 = _tuple_set(nav.kap1, ci, _scalar(f["kappa0"]))
+
+        if channel == 1:
+            nav.x_scale = float(_attr(f["x"], "scale_factor"))
+            nav.x_offset = float(_attr(f["x"], "add_offset"))
+            nav.y_scale = float(_attr(f["y"], "scale_factor"))
+            nav.y_offset = float(_attr(f["y"], "add_offset"))
+            gip = f["goes_imager_projection"]
+            nav.gip_val = float(_scalar(gip))
+            nav.lpo = float(_attr(gip, "longitude_of_projection_origin"))
+            nav.req = float(_attr(gip, "semi_major_axis"))
+            nav.rpol = float(_attr(gip, "semi_minor_axis"))
+            nav.inverse_flattening = float(_attr(gip, "inverse_flattening"))
+            nav.lat0 = float(_attr(gip, "latitude_of_projection_origin"))
+            nav.pph = float(_attr(gip, "perspective_point_height"))
+            nav.lam0 = nav.lpo * DTOR
+            nav.nx, nav.ny = w, h
+            nav.min_x = nav.min_y = 0
+            nav.max_x, nav.max_y = w, h
+            # CLAVR-x coordinate subsetting factors (oct_fileread.cc:315-336)
+            div = 4 if band == 2 else (2 if band in (1, 3) else 1)
+            nav.min_xc, nav.min_yc = 0, 0
+            nav.max_xc, nav.max_yc = w // div, h // div
+            t = float(_scalar(f["t"]))
+            t_units = _attr(f["t"], "units")
+        else:
+            t = scene.t
+            t_units = scene.t_units
+
+        # normalization range (band table unless overridden; oct_fileread.cc:341-359)
+        vmin, vmax = band_min_max(band)
+        omin = getattr(cfg, "norm_min" if channel == 1 else f"norm_min{channel}")
+        omax = getattr(cfg, "norm_max" if channel == 1 else f"norm_max{channel}")
+        vmin = omin if omin is not None else vmin
+        vmax = omax if omax is not None else vmax
+
+        data, lat, lon = navcal_goes(
+            jnp.asarray(counts), jnp.asarray(x), jnp.asarray(y), nav,
+            channel=ci, cal="RAW", norm_min=vmin, norm_max=vmax,
+            donav=donav and channel == 1,
+        )
+        data = np.asarray(data, np.float32)
+
+    if channel == 1:
+        sc = scene if scene is not None else Scene(nav=nav, data=np.zeros((0, 0, 0)))
+        sc.nav = nav
+        sc.data = data[None]
+        sc.t = t
+        sc.t_units = t_units
+        sc.band = _tuple_set(sc.band if sc.band else (0, 0, 0), 0, band)
+        sc.x = x
+        sc.y = y
+        sc.raw_counts = counts[None]
+        if donav:
+            sc.lat = np.asarray(lat)
+            sc.lon = np.asarray(lon)
+        return sc
+
+    # channels 2/3: regrid to channel-1 grid (oct_fileread.cc:361-380)
+    assert scene is not None, "channel 1 must be read first"
+    h1, w1 = scene.nav.ny, scene.nav.nx
+    if w1 > w:
+        regridded = np.asarray(zoom_in_image(jnp.asarray(data), (h1, w1), True))
+    elif w1 == w:
+        regridded = data
+    else:
+        factor = w1 / w
+        regridded = np.asarray(zoom_out_image(jnp.asarray(data), factor))
+    scene.data = np.concatenate([scene.data, regridded[None]], axis=0)
+    scene.band = _tuple_set(scene.band, channel - 1, band)
+    return scene
+
+
+def _read_flat_grid(path, cfg, donav, scene):
+    """Polar / mercator grid ingest (oct_polarread / oct_mercread).
+
+    These files carry pre-gridded float data plus x/y in projected metres and
+    grid constants; data passes through uncalibrated (the reference polar and
+    mercator nav kernels only compute lat/lon).
+    """
+    _require_h5py()
+    with h5py.File(path, "r") as f:
+        data = np.asarray(f["data"][()], np.float32)
+        x = np.asarray(f["x"][()])
+        y = np.asarray(f["y"][()])
+        nav = NavConstants(grid=cfg.grid)
+        nav.x_scale = float(_attr(f["x"], "scale_factor")) if "scale_factor" in f["x"].attrs else 1.0
+        nav.x_offset = float(_attr(f["x"], "add_offset")) if "add_offset" in f["x"].attrs else 0.0
+        nav.y_scale = float(_attr(f["y"], "scale_factor")) if "scale_factor" in f["y"].attrs else 1.0
+        nav.y_offset = float(_attr(f["y"], "add_offset")) if "add_offset" in f["y"].attrs else 0.0
+        nav.R = float(_scalar(f["R"])) if "R" in f else 6371000.0
+        if cfg.grid == "polar":
+            nav.lat1 = float(_scalar(f["lat1"])) if "lat1" in f else 90.0
+            nav.lon0_deg = float(_scalar(f["lon0"])) if "lon0" in f else 0.0
+        else:
+            nav.lon1 = float(_scalar(f["lon1"])) if "lon1" in f else 0.0
+        nav.ny, nav.nx = data.shape
+        nav.max_x, nav.max_y = nav.nx, nav.ny
+        t = float(_scalar(f["t"])) if "t" in f else 0.0
+    sc = Scene(nav=nav, data=data[None], t=t)
+    sc.x = np.asarray(x, np.int16) if x.dtype.kind in "iu" else np.arange(nav.nx, dtype=np.int16)
+    sc.y = np.asarray(y, np.int16) if y.dtype.kind in "iu" else np.arange(nav.ny, dtype=np.int16)
+    if donav:
+        from octane_tpu.nav.polar import polar_latlon
+        from octane_tpu.nav.mercator import mercator_latlon
+        xv = x * nav.x_scale + nav.x_offset
+        yv = y * nav.y_scale + nav.y_offset
+        xg, yg = np.meshgrid(xv, yv)
+        fn = polar_latlon if cfg.grid == "polar" else mercator_latlon
+        lat, lon = fn(jnp.asarray(xg), jnp.asarray(yg), nav)
+        sc.lat = np.asarray(lat)
+        sc.lon = np.asarray(lon)
+    return sc
+
+
+def read_cth(path: str, scene: Scene, cfg: OFConfig) -> Scene:
+    """CLAVR-x cloud-top height ingest + regrid (oct_clavrxread,
+    oct_fileread.cc:756-816)."""
+    _require_h5py()
+    with h5py.File(path, "r") as f:
+        cth = np.asarray(f["Cloud_Top_Height_Effective"][()], np.float32)
+    xs = scene.nav.max_xc - scene.nav.min_xc
+    scene.nav.cth_nx = xs
+    scene.nav.cth_ny = scene.nav.max_yc - scene.nav.min_yc
+    h1, w1 = scene.nav.ny, scene.nav.nx
+    if w1 > xs:
+        scene.cth = np.asarray(
+            zoom_in_image(jnp.asarray(cth), (h1, w1), cfg.interp_cth_bicubic))
+    elif w1 == xs:
+        scene.cth = cth
+    else:
+        scene.cth = np.asarray(zoom_out_image(jnp.asarray(cth), w1 / xs))
+    return scene
+
+
+def read_first_guess(path: str, scene: Scene) -> Scene:
+    """First-guess winds ingest (oct_fgread, oct_fileread.cc:817-868):
+    UFG/VFG are navigated winds in m/s on the image grid."""
+    _require_h5py()
+    with h5py.File(path, "r") as f:
+        scene.ufg = np.asarray(f["UFG"][()], np.float32)
+        scene.vfg = np.asarray(f["VFG"][()], np.float32)
+    return scene

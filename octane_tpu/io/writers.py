@@ -1,0 +1,143 @@
+"""Product file writer (netCDF4-compatible HDF5 via h5py).
+
+Replicates the reference's output variable/attribute schema
+(oct_goeswrite, oct_filewrite.cc:17-349) so products are drop-in comparable:
+
+  x, y (int16 + scale/offset), t (double, units attr), U/V (int16, 100*m/s),
+  U_raw/V_raw (int16, 100*pixels), Upix/Vpix (float, optional), CTP (int16),
+  Occlusion (int16, interp products), Rad[/2/3] (int16 counts),
+  goes_imager_projection (int + projection attrs), optical_flow_settings
+  (int + every solver hyper-parameter as attrs), planck_* / kappa0 scalars.
+
+Files are written as HDF5 with netCDF-style dimension scales so standard
+netCDF4 readers open them.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+try:
+    import h5py
+except ImportError:                                    # pragma: no cover
+    h5py = None
+
+from octane_tpu.config import OFConfig
+from octane_tpu.io.datamodel import Scene
+
+
+def _dimvar(f, name, data, scale=None, offset=None):
+    d = f.create_dataset(name, data=data)
+    d.make_scale(name)
+    if scale is not None:
+        d.attrs["scale_factor"] = np.float32(scale)
+        d.attrs["add_offset"] = np.float32(offset)
+    return d
+
+
+def _var2d(f, name, data, xdim, ydim, **attrs):
+    d = f.create_dataset(name, data=data)
+    d.dims[0].attach_scale(ydim)
+    d.dims[1].attach_scale(xdim)
+    for k, v in attrs.items():
+        d.attrs[k] = v
+    return d
+
+
+def write_product(path: str, scene: Scene, cfg: OFConfig,
+                  interp: bool = False) -> str:
+    """Write the flow product for ``scene``; returns the path."""
+    if h5py is None:
+        raise RuntimeError("h5py is required for product output")
+    nav = scene.nav
+    h, w = nav.ny, nav.nx
+    with h5py.File(path, "w") as f:
+        x = scene.x if scene.x is not None else np.arange(w, dtype=np.int16)
+        y = scene.y if scene.y is not None else np.arange(h, dtype=np.int16)
+        xd = _dimvar(f, "x", np.asarray(x, np.int16), nav.x_scale, nav.x_offset)
+        yd = _dimvar(f, "y", np.asarray(y, np.int16), nav.y_scale, nav.y_offset)
+
+        t = f.create_dataset("t", data=np.float64(scene.t_interp if interp else scene.t))
+        t.attrs["standard_name"] = "time"
+        t.attrs["units"] = scene.t_units
+        t.attrs["axis"] = "T"
+        t.attrs["bounds"] = "time_bounds"
+        t.attrs["long_name"] = (
+            "J2000 epoch mid-point between the start and end image scan in seconds")
+        if interp:
+            t.attrs["frdt"] = np.float32(scene.frdt)
+
+        units_uv = "meters per second" if not cfg.pixuv else "x-pixels"
+        if cfg.out_nav and scene.u_wind is not None:
+            _var2d(f, "U", np.asarray(scene.u_wind, np.int16), xd, yd,
+                   long_name="U", grid_mapping="goes_imager_projection",
+                   scale_factor=np.float32(0.01), units=units_uv)
+            _var2d(f, "V", np.asarray(scene.v_wind, np.int16), xd, yd,
+                   long_name="V", grid_mapping="goes_imager_projection",
+                   scale_factor=np.float32(0.01),
+                   units="meters per second" if not cfg.pixuv else "y-pixels")
+        if cfg.out_raw and scene.u_raw is not None:
+            _var2d(f, "U_raw", np.asarray(scene.u_raw, np.int16), xd, yd,
+                   long_name="U Raw", grid_mapping="goes_imager_projection",
+                   scale_factor=np.float32(0.01), units="x-pixels")
+            _var2d(f, "V_raw", np.asarray(scene.v_raw, np.int16), xd, yd,
+                   long_name="V Raw", grid_mapping="goes_imager_projection",
+                   scale_factor=np.float32(0.01), units="y-pixels")
+        if cfg.pixuv and scene.u_pix is not None:
+            _var2d(f, "Upix", np.asarray(scene.u_pix, np.float32), xd, yd,
+                   long_name="Upix", grid_mapping="goes_imager_projection")
+            _var2d(f, "Vpix", np.asarray(scene.v_pix, np.float32), xd, yd,
+                   long_name="Vpix", grid_mapping="goes_imager_projection")
+        if interp and scene.occlusion is not None:
+            _var2d(f, "Occlusion", np.asarray(scene.occlusion, np.int16), xd, yd,
+                   long_name="Occlusion Masks",
+                   key="0 - both, 1 - only in image 1, 2 - only in image 2")
+        if cfg.out_ctp and cfg.do_cth and scene.ctp is not None:
+            _var2d(f, "CTP", np.asarray(scene.ctp, np.int16), xd, yd,
+                   long_name="CTP", grid_mapping="goes_imager_projection",
+                   interpcth=np.float32(1.0 if cfg.interp_cth_bicubic else 0.0))
+        if cfg.out_rad and scene.raw_counts is not None:
+            names = ["Rad", "Rad2", "Rad3"]
+            for c in range(scene.raw_counts.shape[0]):
+                _var2d(f, names[c], np.asarray(scene.raw_counts[c], np.int16),
+                       xd, yd, long_name=names[c],
+                       grid_mapping="goes_imager_projection",
+                       scale_factor=np.float32(nav.rad_scale[c]),
+                       add_offset=np.float32(nav.rad_offset[c]))
+                for nm, tup in (("planck_fk1", nav.fk1), ("planck_fk2", nav.fk2),
+                                ("planck_bc1", nav.bc1), ("planck_bc2", nav.bc2),
+                                ("kappa0", nav.kap1)):
+                    suffix = "" if c == 0 else f"_{c + 1}"
+                    f.create_dataset(nm + suffix, data=np.float32(tup[c]))
+
+        gip = f.create_dataset("goes_imager_projection", data=np.int32(0))
+        gip.attrs["long_name"] = "GOES-R ABI fixed grid projection"
+        gip.attrs["grid_mapping_name"] = "geostationary"
+        gip.attrs["perspective_point_height"] = np.float64(nav.pph)
+        gip.attrs["semi_major_axis"] = np.float64(nav.req)
+        gip.attrs["semi_minor_axis"] = np.float64(nav.rpol)
+        gip.attrs["inverse_flattening"] = np.float64(nav.inverse_flattening)
+        gip.attrs["latitude_of_projection_origin"] = np.float64(nav.lat0)
+        gip.attrs["longitude_of_projection_origin"] = np.float64(nav.lpo)
+        gip.attrs["sweep_angle_axis"] = "x"
+
+        ofv = f.create_dataset("optical_flow_settings", data=np.int32(cfg.oftype))
+        ofv.attrs["long_name"] = "Optical Flow Settings"
+        ofv.attrs["key"] = ("1 = Modified Zimmer et al. (2011), 2 = Farneback, "
+                            "3 = Brox (2004), 4 = Least Squares")
+        ofv.attrs["Image2_xOffset"] = np.float32(nav.g2x_offset)
+        ofv.attrs["Image2_yOffset"] = np.float32(nav.g2y_offset)
+        if cfg.oftype in (1, 3):
+            ofv.attrs["lambda"] = np.float64(cfg.lambda_)
+            ofv.attrs["lambdac"] = np.float64(cfg.lambdac)
+            ofv.attrs["alpha"] = np.float64(cfg.alpha)
+            ofv.attrs["ScaleF"] = np.float64(cfg.scale_factor)
+            ofv.attrs["K_Iterations"] = np.int32(cfg.kiters)
+            ofv.attrs["L_Iterations"] = np.int32(cfg.liters)
+            ofv.attrs["CG_Iterations"] = np.int32(cfg.cgiters)
+            ofv.attrs["dofirstguess"] = np.int32(1 if cfg.do_firstguess else 0)
+        if cfg.oftype == 4:
+            ofv.attrs["Rad"] = np.int32(cfg.rad)
+            ofv.attrs["SRad"] = np.int32(cfg.srad)
+        ofv.attrs["dt_seconds"] = np.float32(scene.dt)
+    return path
