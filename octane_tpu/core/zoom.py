@@ -40,13 +40,37 @@ def _weights_sigma(factor: float) -> float:
     return 0.6 * math.sqrt(1.0 / (factor * factor) - 1.0)
 
 
+def _catmull_matrix_1d(n_in: int, positions: np.ndarray) -> np.ndarray:
+    """(n_out, n_in) Catmull-Rom interpolation matrix for static positions.
+
+    Weights follow oct_bicubic exactly: tap indices are (int)-truncated and
+    clamped independently (clamped taps accumulate their weight onto the
+    edge sample), the fraction is measured from the clamped base index.
+    Expressing static-position resampling as a matrix turns it into a
+    matmul -- MXU work that XLA's SPMD partitioner shards natively.
+    """
+    n_out = len(positions)
+    m = np.zeros((n_out, n_in), np.float32)
+    for r, p in enumerate(positions):
+        taps = [min(max(int(np.trunc(p + o)), 0), n_in - 1) for o in (-1, 0, 1, 2)]
+        x = np.float32(p) - np.float32(taps[1])
+        w0 = 0.5 * (-x + 2 * x * x - x ** 3)
+        w1 = 1.0 - 2.5 * x * x + 1.5 * x ** 3
+        w2 = 0.5 * (x + 4 * x * x - 3 * x ** 3)
+        w3 = 0.5 * (-x * x + x ** 3)
+        for t, wgt in zip(taps, (w0, w1, w2, w3)):
+            m[r, t] += wgt
+    return m
+
+
 def pyramid_downsample(img: jnp.ndarray, factor: float) -> jnp.ndarray:
     """Solver-path downsample of a full-resolution (..., H, W) image.
 
     Blur with the per-level solver kernel, then point-sample at
     (trunc(jj/factor), trunc(ii/factor)) -- replicating the degenerate
     integer-position bicubic of zoom_out (oct_variational_optical_flow.cu:
-    352-408, note `int i2 = ii/factor` at :369).
+    352-408, note `int i2 = ii/factor` at :369).  The subsample is a pair of
+    one-hot selection matmuls so it shards under GSPMD.
     """
     h, w = img.shape[-2], img.shape[-1]
     nxx, nyy = zoom_size(w, factor), zoom_size(h, factor)
@@ -54,11 +78,18 @@ def pyramid_downsample(img: jnp.ndarray, factor: float) -> jnp.ndarray:
     kern = gaussian_kernel_1d(_weights_sigma(factor), fs)
     blurred = blur_separable(img, kern, fs)
     # static integer subsample indices (float32 division + trunc, like CUDA)
-    ii = np.trunc(np.arange(nxx, dtype=np.float32) / np.float32(factor)).astype(np.int32)
-    jj = np.trunc(np.arange(nyy, dtype=np.float32) / np.float32(factor)).astype(np.int32)
-    ii = np.clip(ii, 0, w - 1)
-    jj = np.clip(jj, 0, h - 1)
-    return blurred[..., jj[:, None], ii[None, :]]
+    ii = np.clip(np.trunc(np.arange(nxx, dtype=np.float32)
+                          / np.float32(factor)).astype(np.int64), 0, w - 1)
+    jj = np.clip(np.trunc(np.arange(nyy, dtype=np.float32)
+                          / np.float32(factor)).astype(np.int64), 0, h - 1)
+    sy = np.zeros((nyy, h), np.float32)
+    sy[np.arange(nyy), jj] = 1.0
+    sx = np.zeros((nxx, w), np.float32)
+    sx[np.arange(nxx), ii] = 1.0
+    out = jnp.einsum("yh,...hw->...yw", jnp.asarray(sy), blurred,
+                     preferred_element_type=jnp.float32)
+    return jnp.einsum("xw,...yw->...yx", jnp.asarray(sx), out,
+                      preferred_element_type=jnp.float32)
 
 
 def zoom_in_flow(flow: jnp.ndarray, new_hw, scale_factor: float) -> jnp.ndarray:
@@ -66,7 +97,8 @@ def zoom_in_flow(flow: jnp.ndarray, new_hw, scale_factor: float) -> jnp.ndarray:
 
     Bicubic at i2 = ii/fx - (0.5 - 0.5/fx) (half-pixel centre offset), then
     divided by ``scale_factor`` to convert displacements to the finer grid
-    (zoom_in, oct_variational_optical_flow.cu:450-466).
+    (zoom_in, oct_variational_optical_flow.cu:450-466).  Separable
+    interpolation matrices -> two matmuls (MXU, GSPMD-shardable).
     """
     nyy, nxx = new_hw
     h, w = flow.shape[-2], flow.shape[-1]
@@ -74,9 +106,12 @@ def zoom_in_flow(flow: jnp.ndarray, new_hw, scale_factor: float) -> jnp.ndarray:
     fy = np.float32(nyy) / np.float32(h)
     i2 = (np.arange(nxx, dtype=np.float32) / fx) - (np.float32(0.5) - np.float32(0.5) / fx)
     j2 = (np.arange(nyy, dtype=np.float32) / fy) - (np.float32(0.5) - np.float32(0.5) / fy)
-    xg = np.broadcast_to(i2[None, :], (nyy, nxx))
-    yg = np.broadcast_to(j2[:, None], (nyy, nxx))
-    out = bicubic_sample(flow, jnp.asarray(xg), jnp.asarray(yg))
+    ry = jnp.asarray(_catmull_matrix_1d(h, j2))
+    rx = jnp.asarray(_catmull_matrix_1d(w, i2))
+    out = jnp.einsum("yh,...hw->...yw", ry, flow,
+                     preferred_element_type=jnp.float32)
+    out = jnp.einsum("xw,...yw->...yx", rx, out,
+                     preferred_element_type=jnp.float32)
     return out / jnp.float32(scale_factor)
 
 

@@ -88,27 +88,39 @@ def _bilinear_coefs(u, v, h, w):
     return idx00, p1, p2, p3, p4, bc_x, bc_y
 
 
-def _warp_gather(field2d, idx00, p1, p2, p3, p4, w):
-    """Bilinear sample of a (H, W) field at precomputed cell/coefs."""
-    flat = field2d.reshape(-1)
-    f11 = jnp.take(flat, idx00)
-    f21 = jnp.take(flat, idx00 + 1)
-    f12 = jnp.take(flat, idx00 + w)
-    f22 = jnp.take(flat, idx00 + w + 1)
-    return p3 * (p1 * f11 + p2 * f21) + p4 * (p1 * f12 + p2 * f22)
+def warp_bilinear_dense(fields: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
+    """Bilinear-sample a (K, H, W) stack at (i+u, j+v) with solver clamping.
+
+    Returns (samples (K, H, W), bc_x, bc_y).  This is the single-device
+    sampler; octane_tpu.parallel.sharded provides a halo-exchange variant
+    with the same signature for spatially sharded grids.
+    """
+    k, h, w = fields.shape
+    idx00, p1, p2, p3, p4, bc_x, bc_y = _bilinear_coefs(u, v, h, w)
+    flat = fields.reshape(k, -1)
+    idx = idx00.reshape(-1)
+
+    def take(off):
+        return jnp.take(flat, idx + off, axis=1).reshape(k, h, w)
+
+    f11, f21, f12, f22 = take(0), take(1), take(w), take(w + 1)
+    samples = p3 * (p1 * f11 + p2 * f21) + p4 * (p1 * f12 + p2 * f22)
+    return samples, bc_x, bc_y
 
 
 def assemble(
     geo1, geo2, gx1, gy1, gx2, gy2, gxx, gxy, gyy,
     u, v, uhat, vhat,
     al1, alpha, lam_over_alpha, lambdac, dozim: bool,
+    warp_fn=None,
 ) -> StencilSystem:
     """Build the linearized Euler-Lagrange system around the current (u, v).
 
     Arguments are (C, H, W) image/gradient stacks and (H, W) flow fields.
     ``al1`` is the graduated-non-convexity blend (1, 0.5, 0 over the three
     GNC steps); ``lambdac`` is the per-level hinting weight (already divided
-    by alpha and decayed 0.5^k).
+    by alpha and decayed 0.5^k).  ``warp_fn`` overrides the bilinear warp
+    sampler (used by the sharded halo-exchange path).
     """
     c_, h, w = geo1.shape
     f32 = jnp.float32
@@ -153,18 +165,20 @@ def assemble(
     psisnmivq = vW + vN + vE + vS
 
     # --- warped data terms, accumulated over channels (ref :727-829) --------
-    idx00, p1, p2, p3, p4, bc_x, bc_y = _bilinear_coefs(u, v, h, w)
+    if warp_fn is None:
+        warp_fn = warp_bilinear_dense
+    stack = jnp.concatenate([geo2, gx2, gy2, gxx, gxy, gyy], axis=0)
+    samples, bc_x, bc_y = warp_fn(stack, u, v)
     zero = jnp.zeros((h, w), f32)
     vr1 = vr2 = vr4 = vr5 = vr6 = intcomp = zero
     vr12 = vr22 = vr42 = vr52 = vr62 = intcomp2 = zero
     for c in range(c_):
-        samp = lambda a: _warp_gather(a[c], idx00, p1, p2, p3, p4, w)
-        g2w = samp(geo2)
-        ix = samp(gx2)
-        iy = samp(gy2)
-        ixx = samp(gxx)
-        ixy = samp(gxy)
-        iyy = samp(gyy)
+        g2w = samples[c]
+        ix = samples[c_ + c]
+        iy = samples[2 * c_ + c]
+        ixx = samples[3 * c_ + c]
+        ixy = samples[4 * c_ + c]
+        iyy = samples[5 * c_ + c]
         # zero warped gradients where the warp clamped (ref :767-779)
         ix = jnp.where(bc_x, 0.0, ix)
         ixx = jnp.where(bc_x, 0.0, ixx)

@@ -32,12 +32,14 @@ from octane_tpu.flow.cg import pcg_solve, sor_solve
 
 @functools.partial(
     jax.jit,
-    static_argnames=("liters", "cgiters", "gnc_steps", "dozim", "solver"),
+    static_argnames=("liters", "cgiters", "gnc_steps", "dozim", "solver",
+                     "warp_fn"),
 )
 def solve_level(
     g1, g2, u, v, uhat, vhat,
     alpha, lam_over_alpha, lambdac, tol,
     liters: int, cgiters: int, gnc_steps: int, dozim: bool, solver: str = "pcg",
+    warp_fn=None,
 ):
     """Run GNC x inner iterations at one pyramid level.
 
@@ -55,6 +57,7 @@ def solve_level(
         sys = assemble(
             g1, g2, gx1, gy1, gx2, gy2, gxx, gxy, gyy,
             u, v, uhat, vhat, al1, alpha, lam_over_alpha, lambdac, dozim,
+            warp_fn=warp_fn,
         )
         if solver == "sor":
             du, dv = sor_solve(sys, tol, cgiters)
