@@ -86,6 +86,7 @@ class Scene:
     cth: Optional[np.ndarray] = None         # (H, W) cloud-top height (m)
     ufg: Optional[np.ndarray] = None         # (H, W) first-guess winds (m/s)
     vfg: Optional[np.ndarray] = None
+    norm_ranges: tuple = ((0.0, 255.0),) * 3  # per-channel (min, max) used at ingest
     # flow products
     u_pix: Optional[np.ndarray] = None       # (H, W) float pixel displacement
     v_pix: Optional[np.ndarray] = None

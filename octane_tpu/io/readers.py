@@ -127,6 +127,7 @@ def read_scene(
         vmin = omin if omin is not None else vmin
         vmax = omax if omax is not None else vmax
 
+        norm_used = (float(vmin), float(vmax))
         data, lat, lon = navcal_goes(
             jnp.asarray(counts), jnp.asarray(x), jnp.asarray(y), nav,
             channel=ci, cal="RAW", norm_min=vmin, norm_max=vmax,
@@ -144,6 +145,7 @@ def read_scene(
         sc.x = x
         sc.y = y
         sc.raw_counts = counts[None]
+        sc.norm_ranges = (norm_used,) + tuple(sc.norm_ranges[1:])
         if donav:
             sc.lat = np.asarray(lat)
             sc.lon = np.asarray(lon)
@@ -161,6 +163,16 @@ def read_scene(
         regridded = np.asarray(zoom_out_image(jnp.asarray(data), factor))
     scene.data = np.concatenate([scene.data, regridded[None]], axis=0)
     scene.band = _tuple_set(scene.band, channel - 1, band)
+    nr = list(scene.norm_ranges)
+    nr[channel - 1] = norm_used
+    scene.norm_ranges = tuple(nr)
+    if scene.raw_counts is not None and scene.raw_counts.shape[0] < channel:
+        # pseudo-counts on the channel-1 grid (the reference stores original-
+        # resolution counts against channel-1 dims, which cannot round-trip;
+        # we invert the normalization instead)
+        radiance = regridded / 255.0 * (norm_used[1] - norm_used[0]) + norm_used[0]
+        cnt = ((radiance - nav.rad_offset[ci]) / nav.rad_scale[ci]).astype(np.int16)
+        scene.raw_counts = np.concatenate([scene.raw_counts, cnt[None]], axis=0)
     return scene
 
 

@@ -44,6 +44,10 @@ def make_sharded_warp(mesh, global_hw: Tuple[int, int], halo: int):
     rx = mesh.shape["dx"]
     hl, wl = gh // ry, gw // rx
     halo = min(halo, hl, wl)
+    if halo < 4:
+        # displacement reach (halo - 2) would be degenerate; caller falls
+        # back to the dense gather, which GSPMD handles with collectives
+        return None
 
     @functools.partial(
         jax.shard_map, mesh=mesh,

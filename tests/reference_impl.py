@@ -342,3 +342,136 @@ def variational_flow(geo1, geo2, u0, v0, alpha=5.0, lam=1.0, lambdac=0.0,
         u, v = solve_level(g1, g2, u, v, uhat, vhat, alpha, lam, lc,
                            liters, cgiters, tol, dozim)
     return u, v
+
+
+# ---------------------------------------------------------------------------
+# patch-match oracle (oct_patch_match_optical_flow.cc)
+# ---------------------------------------------------------------------------
+
+def jsose(geo1, geo2, i, j, n, m, rad):
+    h, w = geo1.shape
+    s = 0.0
+    for k in range(2 * rad + 1):
+        for l in range(2 * rad + 1):
+            ic1 = bc(i + k - rad, w)
+            jc1 = bc(j + l - rad, h)
+            ic2 = bc(i + k + n - rad, w)
+            jc2 = bc(j + l + m - rad, h)
+            d = geo2[jc2, ic2] - geo1[jc1, ic1]
+            s += d * d
+    return s
+
+
+def jquad_interp(y2, y1, y3, x2, x1, x3):
+    c1 = (y2 - y1) / (x2 - x1)
+    c2 = (x2 * x2 - x1 * x1) / (x2 - x1)
+    a = (y3 - c1 * x3 - y1 + c1 * x1) / (x3 * x3 - c2 * x3 - x1 * x1 + c2 * x1)
+    b = c1 - a * c2
+    if a == 0:
+        return x2
+    return -b / (2.0 * a)
+
+
+def patch_match(geo1, geo2, u0, v0, rad=2, srad=2):
+    h, w = geo1.shape
+    sx = 2 * srad + 1
+    uo = np.zeros((h, w), F)
+    vo = np.zeros((h, w), F)
+    for j in range(h):
+        for i in range(w):
+            ibc = bc(int(i + u0[j, i]), w)
+            jbc = bc(int(j + v0[j, i]), h)
+            n = m = 0
+            dn, dm = 0, -1
+            summin = None
+            for _ in range(sx * sx):
+                sumv = jsose(geo1, geo2, ibc, jbc, n, m, rad)
+                if summin is None or sumv < summin:
+                    summin, nmin, mmin = sumv, n, m
+                if (n == m) or (n < 0 and n == -m) or (n > 0 and n == 1 - m):
+                    dn, dm = -dm, dn
+                n += dn
+                m += dm
+            s1 = jsose(geo1, geo2, ibc, jbc, nmin + 1, mmin, rad)
+            s2 = jsose(geo1, geo2, ibc, jbc, nmin - 1, mmin, rad)
+            if summin < s1 and summin < s2:
+                uo[j, i] = jquad_interp(summin, s1, s2, i + nmin, i + nmin + 1,
+                                        i + nmin - 1) - i
+            else:
+                uo[j, i] = nmin
+            s1 = jsose(geo1, geo2, ibc, jbc, nmin, mmin + 1, rad)
+            s2 = jsose(geo1, geo2, ibc, jbc, nmin, mmin - 1, rad)
+            if summin < s1 and summin < s2:
+                vo[j, i] = jquad_interp(summin, s1, s2, j + mmin, j + mmin + 1,
+                                        j + mmin - 1) - j
+            else:
+                vo[j, i] = mmin
+    return uo, vo
+
+
+# ---------------------------------------------------------------------------
+# srsal oracle (oct_srsal_cuda.cu)
+# ---------------------------------------------------------------------------
+
+def bc_reflect(x, n):
+    """oct_bc_cuda: x<0 -> -x (reflect), x>=n -> 2n-x-1 (symmetric)."""
+    if x < 0:
+        x = -x
+    if x >= n:
+        x = n - (x - n + 1)
+    return x
+
+
+def srsal(u, v, cth, filtsigma=9.0, sigpix=20.0):
+    filtsize = int(2 * filtsigma)
+    gk = gaussian_kernel(filtsigma, filtsize)
+    sigpix2 = -1.0 / (2.0 * sigpix * sigpix)
+    h, w = u.shape
+    uo = np.zeros_like(u)
+    vo = np.zeros_like(v)
+    for j in range(h):
+        for i in range(w):
+            au = av = a2 = 0.0
+            for kc in range(2 * filtsize + 1):
+                for lc in range(2 * filtsize + 1):
+                    ivc = bc_reflect(i + kc - filtsize, w)
+                    jvc = bc_reflect(j + lc - filtsize, h)
+                    pixm = cth[jvc, ivc] - cth[j, i]
+                    a1 = gk[kc] * gk[lc] * math.exp(pixm * pixm * sigpix2)
+                    a2 += a1
+                    au += u[jvc, ivc] * a1
+                    av += v[jvc, ivc] * a1
+            uo[j, i] = au / a2
+            vo[j, i] = av / a2
+    return uo, vo
+
+
+# ---------------------------------------------------------------------------
+# forward-splat oracle (oct_warpflow, oct_interp.cc:17-63)
+# ---------------------------------------------------------------------------
+
+def warpflow(u, v, im1, im2, time):
+    h, w = u.shape
+    ut = np.full((h, w), -999.0, F)
+    vt = np.full((h, w), -999.0, F)
+    sos = np.full((h, w), 999999.0, F)
+
+    def clamp(x, n):
+        return min(max(int(round(x)), 0), n - 2)
+
+    for j in range(h):
+        for i in range(w):
+            iv = clamp(i + time * u[j, i], w)
+            jv = clamp(j + time * v[j, i], h)
+            iv2 = clamp(i + u[j, i], w)
+            jv2 = clamp(j + v[j, i], h)
+            for l in range(2):
+                for k in range(2):
+                    t_j, t_i = jv + l, iv + k
+                    d = im1[j, i] - im2[jv2 + l, iv2 + k]
+                    d2 = d * d
+                    if ut[t_j, t_i] < -998 or sos[t_j, t_i] > d2:
+                        ut[t_j, t_i] = u[j, i]
+                        vt[t_j, t_i] = v[j, i]
+                        sos[t_j, t_i] = d2
+    return ut, vt
