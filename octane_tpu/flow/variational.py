@@ -72,29 +72,13 @@ def solve_level(
     return u, v
 
 
-def variational_flow(
-    geo1: jnp.ndarray,
-    geo2: jnp.ndarray,
-    u0: jnp.ndarray,
-    v0: jnp.ndarray,
-    cfg: OFConfig,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Full coarse-to-fine solve.
+def _coarse_to_fine(geo1, geo2, u0, v0, cfg: OFConfig, warp_fns=None):
+    """Trace the full pyramid schedule (shapes static, loop unrolled).
 
-    geo1/geo2: (C, H, W) float32 images normalized to [0, 255];
-    u0/v0: (H, W) float32 first-guess pixel displacements (zeros if none).
-    Returns (u, v) dense pixel displacements at full resolution.
+    ``warp_fns`` optionally maps level index -> warp sampler (sharded path).
     """
-    geo1 = jnp.asarray(geo1, jnp.float32)
-    geo2 = jnp.asarray(geo2, jnp.float32)
-    if geo1.ndim == 2:
-        geo1 = geo1[None]
-        geo2 = geo2[None]
-    u0 = jnp.asarray(u0, jnp.float32)
-    v0 = jnp.asarray(v0, jnp.float32)
     h, w = u0.shape
     kiters = cfg.kiters
-
     u = v = None
     for k in range(kiters):
         factor = float(np.float32(cfg.scale_factor) ** (kiters - k - 1))
@@ -121,5 +105,67 @@ def variational_flow(
             jnp.float32(cfg.alpha), jnp.float32(cfg.lambda_over_alpha),
             jnp.float32(lambdac_k), jnp.float32(cfg.cg_tol),
             cfg.liters, cfg.cgiters, cfg.gnc_steps, cfg.dozim, cfg.solver,
+            warp_fn=warp_fns.get(k) if warp_fns else None,
         )
     return u, v
+
+
+_program_cache = {}
+
+
+def flow_program(cfg: OFConfig, shape, nchan: int):
+    """One jitted program for the ENTIRE coarse-to-fine solve.
+
+    A single dispatch per image pair: the level loop is unrolled at trace
+    time, so pyramid construction, warping, assembly and all CG iterations
+    compile into one XLA executable (no per-level host round trips -- this
+    is what makes the solver latency-tolerant in production serving).
+    """
+    key = (shape, nchan, cfg.alpha, cfg.lambda_, cfg.lambdac, cfg.scale_factor,
+           cfg.kiters, cfg.liters, cfg.cgiters, cfg.gnc_steps, cfg.dozim,
+           cfg.solver, cfg.cg_tol, cfg.use_pallas)
+    if key in _program_cache:
+        return _program_cache[key]
+
+    # per-level Pallas warp kernels on TPU backends (12x over XLA's gather)
+    warp_fns = {}
+    if cfg.use_pallas:
+        from octane_tpu.ops.pallas.warp import make_pallas_warp
+        h, w = shape
+        for k in range(cfg.kiters):
+            factor = float(np.float32(cfg.scale_factor) ** (cfg.kiters - k - 1))
+            lvl = (zoom_size(h, factor), zoom_size(w, factor))
+            wf = make_pallas_warp(lvl)
+            if wf is not None:
+                warp_fns[k] = wf
+
+    @jax.jit
+    def program(geo1, geo2, u0, v0):
+        return _coarse_to_fine(geo1, geo2, u0, v0, cfg, warp_fns or None)
+
+    _program_cache[key] = program
+    return program
+
+
+def variational_flow(
+    geo1: jnp.ndarray,
+    geo2: jnp.ndarray,
+    u0: jnp.ndarray,
+    v0: jnp.ndarray,
+    cfg: OFConfig,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Full coarse-to-fine solve.
+
+    geo1/geo2: (C, H, W) float32 images normalized to [0, 255];
+    u0/v0: (H, W) float32 first-guess pixel displacements (zeros if none).
+    Returns (u, v) dense pixel displacements at full resolution.
+    """
+    geo1 = jnp.asarray(geo1, jnp.float32)
+    geo2 = jnp.asarray(geo2, jnp.float32)
+    if geo1.ndim == 2:
+        geo1 = geo1[None]
+        geo2 = geo2[None]
+    u0 = jnp.asarray(u0, jnp.float32)
+    v0 = jnp.asarray(v0, jnp.float32)
+    program = flow_program(cfg, u0.shape, geo1.shape[0])
+    return program(geo1, geo2, u0, v0)

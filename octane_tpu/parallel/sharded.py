@@ -97,12 +97,47 @@ def make_sharded_warp(mesh, global_hw: Tuple[int, int], halo: int):
     return warp
 
 
+_sharded_program_cache = {}
+
+
+def sharded_flow_program(cfg: OFConfig, shape, nchan: int, mesh):
+    """One jitted SPMD program for the whole coarse-to-fine solve over the
+    mesh (single dispatch; XLA inserts halo collectives for the stencils
+    and the shard_map warp kernels handle the gathers)."""
+    from octane_tpu.flow.variational import _coarse_to_fine, flow_program
+
+    h, w = shape
+    key = (id(mesh), shape, nchan, cfg.alpha, cfg.lambda_, cfg.lambdac,
+           cfg.scale_factor, cfg.kiters, cfg.liters, cfg.cgiters,
+           cfg.gnc_steps, cfg.dozim, cfg.solver, cfg.cg_tol, cfg.halo_warp)
+    if key in _sharded_program_cache:
+        return _sharded_program_cache[key]
+
+    ry = mesh.shape["dy"]
+    rx = mesh.shape["dx"]
+    warp_fns = {}
+    for k in range(cfg.kiters):
+        factor = float(np.float32(cfg.scale_factor) ** (cfg.kiters - k - 1))
+        nxx, nyy = zoom_size(w, factor), zoom_size(h, factor)
+        if nyy % ry == 0 and nxx % rx == 0 and ry * rx > 1:
+            wf = make_sharded_warp(mesh, (nyy, nxx), cfg.halo_warp)
+            if wf is not None:
+                warp_fns[k] = wf
+
+    fsh = flow_sharding(mesh)
+    program = jax.jit(
+        functools.partial(_coarse_to_fine, cfg=cfg, warp_fns=warp_fns),
+        out_shardings=(fsh, fsh),
+    )
+    _sharded_program_cache[key] = program
+    return program
+
+
 def sharded_variational_flow(geo1, geo2, u0, v0, cfg: OFConfig, mesh):
     """Coarse-to-fine variational flow over a ("dy", "dx") device mesh.
 
-    Same level schedule as octane_tpu.flow.variational.variational_flow;
-    inputs are placed with spatial shardings and each level runs the shared
-    jitted program with the halo-exchange warp.
+    Same level schedule as octane_tpu.flow.variational.variational_flow,
+    compiled as one SPMD program with spatially sharded inputs.
     """
     geo1 = jnp.asarray(geo1, jnp.float32)
     geo2 = jnp.asarray(geo2, jnp.float32)
@@ -115,57 +150,5 @@ def sharded_variational_flow(geo1, geo2, u0, v0, cfg: OFConfig, mesh):
     geo2 = jax.device_put(geo2, ish)
     u0 = jax.device_put(jnp.asarray(u0, jnp.float32), fsh)
     v0 = jax.device_put(jnp.asarray(v0, jnp.float32), fsh)
-    h, w = u0.shape
-    ry = mesh.shape["dy"]
-    rx = mesh.shape["dx"]
-    kiters = cfg.kiters
-
-    u = v = None
-    for k in range(kiters):
-        factor = float(np.float32(cfg.scale_factor) ** (kiters - k - 1))
-        nxx, nyy = zoom_size(w, factor), zoom_size(h, factor)
-        lambdac_k = (cfg.lambdac / cfg.alpha) * (0.5 ** k)
-
-        if k == kiters - 1:
-            g1, g2 = geo1, geo2
-            uhat, vhat = u0, v0
-        else:
-            # jitted prep so GSPMD partitions the blur + selection matmuls
-            down_i = jax.jit(functools.partial(pyramid_downsample, factor=factor),
-                             out_shardings=ish)
-            down_f = jax.jit(functools.partial(pyramid_downsample, factor=factor),
-                             out_shardings=fsh)
-            g1 = down_i(geo1)
-            g2 = down_i(geo2)
-            uhat = down_f(u0) * jnp.float32(factor)
-            vhat = down_f(v0) * jnp.float32(factor)
-
-        if k == 0:
-            u, v = uhat, vhat
-        else:
-            up = jax.jit(
-                functools.partial(zoom_in_flow, new_hw=(nyy, nxx),
-                                  scale_factor=cfg.scale_factor),
-                out_shardings=fsh)
-            u = up(u)
-            v = up(v)
-
-        divisible = (nyy % ry == 0) and (nxx % rx == 0) and (ry * rx > 1)
-        warp_fn = (make_sharded_warp(mesh, (nyy, nxx), cfg.halo_warp)
-                   if divisible else None)
-        # keep level arrays spatially sharded
-        g1 = jax.lax.with_sharding_constraint(g1, ish)
-        g2 = jax.lax.with_sharding_constraint(g2, ish)
-        u = jax.lax.with_sharding_constraint(u, fsh)
-        v = jax.lax.with_sharding_constraint(v, fsh)
-        uhat = jax.lax.with_sharding_constraint(uhat, fsh)
-        vhat = jax.lax.with_sharding_constraint(vhat, fsh)
-
-        u, v = solve_level(
-            g1, g2, u, v, uhat, vhat,
-            jnp.float32(cfg.alpha), jnp.float32(cfg.lambda_over_alpha),
-            jnp.float32(lambdac_k), jnp.float32(cfg.cg_tol),
-            cfg.liters, cfg.cgiters, cfg.gnc_steps, cfg.dozim, cfg.solver,
-            warp_fn=warp_fn,
-        )
-    return u, v
+    program = sharded_flow_program(cfg, u0.shape, geo1.shape[0], mesh)
+    return program(geo1, geo2, u0, v0)
