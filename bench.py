@@ -43,10 +43,10 @@ def main():
     from octane_tpu.config import OFConfig
     from octane_tpu.flow.variational import variational_flow
 
-    h = w = 512
+    h = w = 1024
     im1, im2 = synth_pair(h, w)
     zero = np.zeros((h, w), np.float32)
-    cfg = OFConfig(kiters=3, alpha=5.0, lambda_=1.0)
+    cfg = OFConfig(kiters=4, alpha=5.0, lambda_=1.0)
 
     from octane_tpu.flow.variational import flow_program
     program = flow_program(cfg, (h, w), 1)

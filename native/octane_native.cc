@@ -1,0 +1,133 @@
+// Native host-side runtime for octane_tpu.
+//
+// The TPU owns the compute path (JAX/XLA/Pallas); this library owns the
+// host-side hot loops around it, replacing what the reference did with
+// per-pixel C++/CUDA host code (oct_fileread.cc count unpacking, the
+// managed-memory staging loops in every *_cuda.cu wrapper):
+//
+//   * octane_unpack_calibrate: int16 counts -> float32 radiance
+//     (scale/offset), multithreaded; feeds host-sharded ingest at
+//     memory bandwidth instead of single-thread numpy speed.
+//   * octane_extract_tile_halo: pack a subgrid with clamp-padded halo into
+//     a contiguous buffer (per-host tile feeding for the spatial mesh).
+//   * octane_epe_stats: endpoint-error statistics between two flow fields
+//     (mean/max), multithreaded -- the parity metric (EPE < 0.1 px).
+//
+// Build: make -C native   (produces liboctane_native.so, loaded via ctypes)
+
+#include <algorithm>
+#include <atomic>
+#include <cmath>
+#include <cstdint>
+#include <thread>
+#include <vector>
+
+namespace {
+
+int default_threads() {
+  unsigned n = std::thread::hardware_concurrency();
+  return n == 0 ? 4 : static_cast<int>(n);
+}
+
+template <typename F>
+void parallel_for(int64_t n, int nthreads, F body) {
+  if (nthreads <= 1 || n < (1 << 16)) {
+    body(0, n);
+    return;
+  }
+  std::vector<std::thread> ts;
+  int64_t chunk = (n + nthreads - 1) / nthreads;
+  for (int t = 0; t < nthreads; ++t) {
+    int64_t lo = t * chunk;
+    int64_t hi = std::min<int64_t>(n, lo + chunk);
+    if (lo >= hi) break;
+    ts.emplace_back([=] { body(lo, hi); });
+  }
+  for (auto& t : ts) t.join();
+}
+
+}  // namespace
+
+extern "C" {
+
+// counts (int16, n) -> out (float32, n): out = counts * scale + offset
+void octane_unpack_calibrate(const int16_t* counts, int64_t n, float scale,
+                             float offset, float* out, int nthreads) {
+  if (nthreads <= 0) nthreads = default_threads();
+  parallel_for(n, nthreads, [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i) {
+      out[i] = static_cast<float>(counts[i]) * scale + offset;
+    }
+  });
+}
+
+// src (float32, h x w) -> dst ((r1-r0+2*halo) x (c1-c0+2*halo)), rows/cols
+// clamped at the image edge (the solver's boundary convention).
+void octane_extract_tile_halo(const float* src, int64_t h, int64_t w,
+                              int64_t r0, int64_t r1, int64_t c0, int64_t c1,
+                              int64_t halo, float* dst, int nthreads) {
+  if (nthreads <= 0) nthreads = default_threads();
+  const int64_t th = (r1 - r0) + 2 * halo;
+  const int64_t tw = (c1 - c0) + 2 * halo;
+  parallel_for(th, nthreads, [&](int64_t lo, int64_t hi) {
+    for (int64_t tr = lo; tr < hi; ++tr) {
+      int64_t sr = std::min<int64_t>(h - 1, std::max<int64_t>(0, r0 - halo + tr));
+      const float* srow = src + sr * w;
+      float* drow = dst + tr * tw;
+      for (int64_t tc = 0; tc < tw; ++tc) {
+        int64_t sc = std::min<int64_t>(w - 1, std::max<int64_t>(0, c0 - halo + tc));
+        drow[tc] = srow[sc];
+      }
+    }
+  });
+}
+
+// Endpoint-error statistics; out = {mean_epe, max_epe, frac_above_thresh}
+void octane_epe_stats(const float* u1, const float* v1, const float* u2,
+                      const float* v2, int64_t n, float thresh, double* out,
+                      int nthreads) {
+  if (nthreads <= 0) nthreads = default_threads();
+  std::vector<double> sums;
+  std::vector<double> maxs;
+  std::vector<int64_t> cnts;
+  int64_t chunk = (n + nthreads - 1) / nthreads;
+  int used = 0;
+  std::vector<std::thread> ts;
+  sums.assign(nthreads, 0.0);
+  maxs.assign(nthreads, 0.0);
+  cnts.assign(nthreads, 0);
+  for (int t = 0; t < nthreads; ++t) {
+    int64_t lo = t * chunk;
+    int64_t hi = std::min<int64_t>(n, lo + chunk);
+    if (lo >= hi) break;
+    ++used;
+    ts.emplace_back([=, &sums, &maxs, &cnts] {
+      double s = 0.0, m = 0.0;
+      int64_t c = 0;
+      for (int64_t i = lo; i < hi; ++i) {
+        double du = static_cast<double>(u1[i]) - u2[i];
+        double dv = static_cast<double>(v1[i]) - v2[i];
+        double e = std::sqrt(du * du + dv * dv);
+        s += e;
+        if (e > m) m = e;
+        if (e > thresh) ++c;
+      }
+      sums[t] = s;
+      maxs[t] = m;
+      cnts[t] = c;
+    });
+  }
+  for (auto& t : ts) t.join();
+  double s = 0.0, m = 0.0;
+  int64_t c = 0;
+  for (int t = 0; t < used; ++t) {
+    s += sums[t];
+    m = std::max(m, maxs[t]);
+    c += cnts[t];
+  }
+  out[0] = n > 0 ? s / static_cast<double>(n) : 0.0;
+  out[1] = m;
+  out[2] = n > 0 ? static_cast<double>(c) / static_cast<double>(n) : 0.0;
+}
+
+}  // extern "C"

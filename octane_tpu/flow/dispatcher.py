@@ -16,22 +16,28 @@ from octane_tpu.config import OFConfig
 from octane_tpu.io.datamodel import Scene
 from octane_tpu.flow.variational import variational_flow
 from octane_tpu.flow.patch_match import patch_match_flow
-from octane_tpu.nav.winds import pix2uv, uv2pix
+from octane_tpu.nav.winds import pix2uv, pix2uv_ms, uv2pix
 from octane_tpu.post.srsal import srsal_smooth
 
 
-def compute_flow(scene1: Scene, scene2: Scene, cfg: OFConfig) -> Scene:
+def compute_flow(scene1: Scene, scene2: Scene, cfg: OFConfig,
+                 first_guess=None) -> Scene:
     """Fill scene1's flow products from the (scene1, scene2) image pair.
 
     Mirrors oct_optical_flow (oct_optical_flow.cc:21-111); returns scene1
-    (fields filled in place on the dataclass).
+    (fields filled in place on the dataclass).  ``first_guess`` optionally
+    supplies (u0, v0) pixel displacements directly (sequence warm starts),
+    bypassing the navigated-winds conversion.
     """
     h, w = scene1.shape
     nav = scene1.nav
     dt = scene2.t - scene1.t
 
     # --- first guess (ref :37-53) -------------------------------------------
-    if cfg.do_firstguess and scene1.ufg is not None:
+    if first_guess is not None:
+        u0 = jnp.asarray(first_guess[0], jnp.float32)
+        v0 = jnp.asarray(first_guess[1], jnp.float32)
+    elif cfg.do_firstguess and scene1.ufg is not None:
         u0, v0 = uv2pix(
             scene1.ufg, scene1.vfg, scene1.lat, scene1.lon,
             scene1.x, scene1.y, nav, dt, grid=cfg.grid,
@@ -68,6 +74,12 @@ def compute_flow(scene1: Scene, scene2: Scene, cfg: OFConfig) -> Scene:
     scene1.v_wind = np.asarray(vw)
     scene1.u_raw = np.asarray(ur)
     scene1.v_raw = np.asarray(vr)
+    if cfg.grid != "goes" and not cfg.pixuv:
+        # flat-grid products keep full-precision winds (oct_polarwrite writes
+        # U/V as doubles, oct_filewrite.cc:401-402)
+        ums, vms = pix2uv_ms(u, v, nav, dt, grid=cfg.grid)
+        scene1.u_ms = np.asarray(ums, np.float64)
+        scene1.v_ms = np.asarray(vms, np.float64)
     scene1.dt = float(dt)
 
     # --- optional anisotropic smoothing (ref :100-105) ----------------------

@@ -92,6 +92,8 @@ class Scene:
     v_pix: Optional[np.ndarray] = None
     u_wind: Optional[np.ndarray] = None      # (H, W) int16, 100 * m/s
     v_wind: Optional[np.ndarray] = None
+    u_ms: Optional[np.ndarray] = None        # (H, W) float m/s (flat-grid output)
+    v_ms: Optional[np.ndarray] = None
     u_raw: Optional[np.ndarray] = None       # (H, W) int16, 100 * pixels
     v_raw: Optional[np.ndarray] = None
     ctp: Optional[np.ndarray] = None         # (H, W) int16 motion-vector height

@@ -177,39 +177,46 @@ def read_scene(
 
 
 def _read_flat_grid(path, cfg, donav, scene):
-    """Polar / mercator grid ingest (oct_polarread / oct_mercread).
+    """Polar / mercator grid ingest (oct_polarread, oct_fileread.cc:421-610;
+    oct_mercread, :611-754).
 
-    These files carry pre-gridded float data plus x/y in projected metres and
-    grid constants; data passes through uncalibrated (the reference polar and
-    mercator nav kernels only compute lat/lon).
+    File format per the reference: float "Rad" data, int16 x/y with
+    scale/offset attrs (projected metres), a "grid_mapping" scalar variable
+    carrying lat1/lon0/R (polar, degrees) or lon1/R (mercator, degrees --
+    converted to radians on ingest like oct_merc_navcal_cuda.cu:45), and "t"
+    with a units attr.  Data passes through uncalibrated (ref polar :60).
     """
     _require_h5py()
     with h5py.File(path, "r") as f:
-        data = np.asarray(f["data"][()], np.float32)
-        x = np.asarray(f["x"][()])
-        y = np.asarray(f["y"][()])
+        data = np.asarray(f["Rad"][()], np.float32)
+        x = np.asarray(f["x"][()], np.int16)
+        y = np.asarray(f["y"][()], np.int16)
         nav = NavConstants(grid=cfg.grid)
-        nav.x_scale = float(_attr(f["x"], "scale_factor")) if "scale_factor" in f["x"].attrs else 1.0
-        nav.x_offset = float(_attr(f["x"], "add_offset")) if "add_offset" in f["x"].attrs else 0.0
-        nav.y_scale = float(_attr(f["y"], "scale_factor")) if "scale_factor" in f["y"].attrs else 1.0
-        nav.y_offset = float(_attr(f["y"], "add_offset")) if "add_offset" in f["y"].attrs else 0.0
-        nav.R = float(_scalar(f["R"])) if "R" in f else 6371000.0
+        nav.x_scale = float(_attr(f["x"], "scale_factor"))
+        nav.x_offset = float(_attr(f["x"], "add_offset"))
+        nav.y_scale = float(_attr(f["y"], "scale_factor"))
+        nav.y_offset = float(_attr(f["y"], "add_offset"))
+        gm = f["grid_mapping"]
+        nav.R = float(_attr(gm, "R"))
         if cfg.grid == "polar":
-            nav.lat1 = float(_scalar(f["lat1"])) if "lat1" in f else 90.0
-            nav.lon0_deg = float(_scalar(f["lon0"])) if "lon0" in f else 0.0
+            nav.lat1 = float(_attr(gm, "lat1"))
+            nav.lon0_deg = float(_attr(gm, "lon0"))
         else:
-            nav.lon1 = float(_scalar(f["lon1"])) if "lon1" in f else 0.0
+            nav.lon1 = float(_attr(gm, "lon1")) * DTOR
         nav.ny, nav.nx = data.shape
         nav.max_x, nav.max_y = nav.nx, nav.ny
-        t = float(_scalar(f["t"])) if "t" in f else 0.0
-    sc = Scene(nav=nav, data=data[None], t=t)
-    sc.x = np.asarray(x, np.int16) if x.dtype.kind in "iu" else np.arange(nav.nx, dtype=np.int16)
-    sc.y = np.asarray(y, np.int16) if y.dtype.kind in "iu" else np.arange(nav.ny, dtype=np.int16)
+        nav.max_xc, nav.max_yc = nav.nx, nav.ny
+        t = float(_scalar(f["t"]))
+        t_units = _attr(f["t"], "units") if "units" in f["t"].attrs else ""
+    sc = Scene(nav=nav, data=data[None], t=t, t_units=t_units)
+    sc.x = x
+    sc.y = y
+    sc.raw_counts = data[None].astype(np.float32)  # flat grids keep float data
     if donav:
         from octane_tpu.nav.polar import polar_latlon
         from octane_tpu.nav.mercator import mercator_latlon
-        xv = x * nav.x_scale + nav.x_offset
-        yv = y * nav.y_scale + nav.y_offset
+        xv = x.astype(np.float64) * nav.x_scale + nav.x_offset
+        yv = y.astype(np.float64) * nav.y_scale + nav.y_offset
         xg, yg = np.meshgrid(xv, yv)
         fn = polar_latlon if cfg.grid == "polar" else mercator_latlon
         lat, lon = fn(jnp.asarray(xg), jnp.asarray(yg), nav)

@@ -49,6 +49,8 @@ def write_product(path: str, scene: Scene, cfg: OFConfig,
     """Write the flow product for ``scene``; returns the path."""
     if h5py is None:
         raise RuntimeError("h5py is required for product output")
+    if cfg.grid != "goes":
+        return _write_flat_product(path, scene, cfg, interp)
     nav = scene.nav
     h, w = nav.ny, nav.nx
     with h5py.File(path, "w") as f:
@@ -139,5 +141,79 @@ def write_product(path: str, scene: Scene, cfg: OFConfig,
         if cfg.oftype == 4:
             ofv.attrs["Rad"] = np.int32(cfg.rad)
             ofv.attrs["SRad"] = np.int32(cfg.srad)
+        ofv.attrs["dt_seconds"] = np.float32(scene.dt)
+    return path
+
+
+def _write_flat_product(path: str, scene: Scene, cfg: OFConfig,
+                        interp: bool) -> str:
+    """Polar / mercator product writer (oct_polarwrite, oct_filewrite.cc:
+    353-563; oct_mercwrite, :565-704): U/V stored as full-precision doubles
+    ("important for slow motions", ref :352), Rad as float, plus the grid's
+    projection variable."""
+    nav = scene.nav
+    polar = cfg.grid == "polar"
+    gmap = "polar_orthonormal" if polar else "Mercator Sphere"
+    with h5py.File(path, "w") as f:
+        xd = _dimvar(f, "x", np.asarray(scene.x, np.int16),
+                     nav.x_scale, nav.x_offset)
+        yd = _dimvar(f, "y", np.asarray(scene.y, np.int16),
+                     nav.y_scale, nav.y_offset)
+        t = f.create_dataset("t", data=np.float64(
+            scene.t_interp if interp else scene.t))
+        t.attrs["standard_name"] = "time"
+        t.attrs["units"] = scene.t_units
+        t.attrs["axis"] = "T"
+        t.attrs["long_name"] = (
+            "J2000 epoch mid-point between the start and end image scan in seconds")
+        if interp:
+            t.attrs["frdt"] = np.float32(scene.frdt)
+
+        if scene.u_ms is not None:
+            _var2d(f, "U", np.asarray(scene.u_ms, np.float64), xd, yd,
+                   long_name="U", grid_mapping=gmap,
+                   units="meters per second" if not cfg.pixuv else "x-pixels")
+            _var2d(f, "V", np.asarray(scene.v_ms, np.float64), xd, yd,
+                   long_name="V", grid_mapping=gmap,
+                   units="meters per second" if not cfg.pixuv else "y-pixels")
+        if scene.u_pix is not None and (cfg.pixuv or scene.u_ms is None):
+            _var2d(f, "Upix", np.asarray(scene.u_pix, np.float32), xd, yd,
+                   long_name="Upix", grid_mapping=gmap)
+            _var2d(f, "Vpix", np.asarray(scene.v_pix, np.float32), xd, yd,
+                   long_name="Vpix", grid_mapping=gmap)
+        if interp and scene.occlusion is not None:
+            _var2d(f, "Occlusion", np.asarray(scene.occlusion, np.int16),
+                   xd, yd, long_name="Occlusion Masks",
+                   key="0 - both, 1 - only in image 1, 2 - only in image 2")
+        if cfg.out_rad and scene.raw_counts is not None:
+            names = ["Rad", "Rad2", "Rad3"]
+            for c in range(scene.raw_counts.shape[0]):
+                _var2d(f, names[c], np.asarray(scene.raw_counts[c], np.float32),
+                       xd, yd, long_name=names[c], grid_mapping=gmap)
+
+        gname = "polar_imager_projection" if polar else "merc_imager_projection"
+        gip = f.create_dataset(gname, data=np.int32(0))
+        if polar:
+            gip.attrs["long_name"] = "Polar_Orthonormal_Grid"
+            gip.attrs["grid_mapping_name"] = "polar"
+            gip.attrs["lat1"] = np.float64(nav.lat1)
+            gip.attrs["lon0"] = np.float64(nav.lon0_deg)
+        else:
+            gip.attrs["long_name"] = "Mercator_Grid"
+            gip.attrs["lon1"] = np.float64(nav.lon1 / (np.pi / 180.0))
+        gip.attrs["R"] = np.float64(nav.R)
+
+        ofv = f.create_dataset("optical_flow_settings", data=np.int32(cfg.oftype))
+        ofv.attrs["long_name"] = "Optical Flow Settings"
+        ofv.attrs["key"] = ("1 = Modified Sun (2014), 2 = Farneback, "
+                            "3 = Brox (2004)")
+        if cfg.oftype in (1, 3):
+            ofv.attrs["lambda"] = np.float64(cfg.lambda_)
+            ofv.attrs["lambdac"] = np.float64(cfg.lambdac)
+            ofv.attrs["alpha"] = np.float64(cfg.alpha)
+            ofv.attrs["ScaleF"] = np.float64(cfg.scale_factor)
+            ofv.attrs["K_Iterations"] = np.int32(cfg.kiters)
+            ofv.attrs["L_Iterations"] = np.int32(cfg.liters)
+            ofv.attrs["CG_Iterations"] = np.int32(cfg.cgiters)
         ofv.attrs["dt_seconds"] = np.float32(scene.dt)
     return path

@@ -66,24 +66,12 @@ def _pixel_scan_positions(nav, u_pix, v_pix):
     return x0, y0, x1, y1
 
 
-def pix2uv(
-    u_pix, v_pix, nav, dt: float, grid: str = "goes", pixuv: bool = False,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Pixel displacements -> navigated winds.
-
-    Returns (u_wind_short, v_wind_short, u_raw_short, v_raw_short):
-    int16 arrays of 100*m/s and 100*pixels (oct_pix2uv_cuda.cu:265-370).
-    """
+def pix2uv_ms(
+    u_pix, v_pix, nav, dt: float, grid: str = "goes",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Pixel displacements -> winds in m/s (float; zeros where invalid)."""
     u_pix = jnp.asarray(u_pix)
     v_pix = jnp.asarray(v_pix)
-    u_raw = _short100(u_pix)
-    v_raw = _short100(v_pix)
-    if _sector_moved(nav):
-        z = jnp.zeros(u_pix.shape, jnp.int16)
-        return z, z, z, z
-    if pixuv:
-        return u_raw, v_raw, u_raw, v_raw
-
     x0, y0, x1, y1 = _pixel_scan_positions(nav, u_pix, v_pix)
     if grid == "polar":
         lat0, lon0 = polar_latlon(x0, y0, nav)
@@ -108,6 +96,27 @@ def pix2uv(
     vw = jnp.where(lat1 >= lat0, dv, -dv) / dt
     uw = jnp.where(invalid, 0.0, uw)
     vw = jnp.where(invalid, 0.0, vw)
+    return uw, vw
+
+
+def pix2uv(
+    u_pix, v_pix, nav, dt: float, grid: str = "goes", pixuv: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Pixel displacements -> navigated winds, short-encoded.
+
+    Returns (u_wind_short, v_wind_short, u_raw_short, v_raw_short):
+    int16 arrays of 100*m/s and 100*pixels (oct_pix2uv_cuda.cu:265-370).
+    """
+    u_pix = jnp.asarray(u_pix)
+    v_pix = jnp.asarray(v_pix)
+    u_raw = _short100(u_pix)
+    v_raw = _short100(v_pix)
+    if _sector_moved(nav):
+        z = jnp.zeros(u_pix.shape, jnp.int16)
+        return z, z, z, z
+    if pixuv:
+        return u_raw, v_raw, u_raw, v_raw
+    uw, vw = pix2uv_ms(u_pix, v_pix, nav, dt, grid)
     return _short100(uw), _short100(vw), u_raw, v_raw
 
 

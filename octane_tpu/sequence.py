@@ -1,0 +1,102 @@
+"""Multi-frame sequence processing with warm starts and checkpoint/resume.
+
+The reference's only sequence mechanism is the -firstguess flag: a previous
+product's navigated winds seed the next solve (main.cc:274-278,
+oct_fileread.cc:817-868, oct_optical_flow.cc:52).  This module makes that a
+first-class mode (BASELINE config 5: N-frame rapid-scan loops):
+
+  * consecutive pairs are solved sequentially, each warm-started from the
+    previous pair's flow (optionally weighted into the energy via the
+    lambdac hinting term, exactly the reference's mechanism);
+  * after each pair the flow state is checkpointed to HDF5, so long jobs
+    resume mid-sequence -- a capability the reference lacks entirely
+    (SURVEY.md section 5, "Checkpoint / resume: none");
+  * optional temporal interpolation between each pair.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional
+
+import numpy as np
+
+try:
+    import h5py
+except ImportError:                                    # pragma: no cover
+    h5py = None
+
+from octane_tpu.config import OFConfig
+from octane_tpu.flow.dispatcher import compute_flow
+from octane_tpu.io.readers import read_scene
+from octane_tpu.io.writers import write_product
+from octane_tpu.pipeline import interpolate_sequence
+
+
+def _save_checkpoint(path: str, index: int, u: np.ndarray, v: np.ndarray):
+    with h5py.File(path, "w") as f:
+        f.create_dataset("pair_index", data=np.int64(index))
+        f.create_dataset("u_pix", data=np.asarray(u, np.float32))
+        f.create_dataset("v_pix", data=np.asarray(v, np.float32))
+
+
+def _load_checkpoint(path: str):
+    if not os.path.exists(path):
+        return None
+    with h5py.File(path, "r") as f:
+        return (int(f["pair_index"][()]),
+                np.asarray(f["u_pix"][()]),
+                np.asarray(f["v_pix"][()]))
+
+
+def run_sequence(
+    files: List[str],
+    cfg: OFConfig,
+    outdir: str = "./",
+    checkpoint: Optional[str] = None,
+    warm_start: bool = True,
+    interp_dir: str = "./interpolation",
+) -> List[str]:
+    """Process consecutive pairs of ``files``; returns the products written.
+
+    With ``checkpoint`` set, the flow state is saved after each pair and a
+    rerun resumes from the first unprocessed pair.
+    """
+    if len(files) < 2:
+        raise ValueError("a sequence needs at least two frames")
+    os.makedirs(outdir, exist_ok=True)
+    written: List[str] = []
+    start = 0
+    u_prev = v_prev = None
+    if checkpoint:
+        state = _load_checkpoint(checkpoint)
+        if state is not None:
+            start, u_prev, v_prev = state
+            start += 1
+
+    scene1 = read_scene(files[start], cfg, donav=True)
+    for i in range(start, len(files) - 1):
+        scene2 = read_scene(files[i + 1], cfg, donav=False)
+        if cfg.grid == "goes":
+            scene1.nav.g2x_offset = scene2.nav.x_offset
+            scene1.nav.g2y_offset = scene2.nav.y_offset
+        # the previous pair's pixel flow seeds the solver (and the hinting
+        # term when cfg.lambdac > 0) -- the reference's first-guess path
+        # without the netCDF round trip
+        fg = (u_prev, v_prev) if (warm_start and u_prev is not None) else None
+        compute_flow(scene1, scene2, cfg, first_guess=fg)
+
+        suffix = {"goes": "", "polar": "_polar", "mercator": "_merc"}[cfg.grid]
+        out = os.path.join(outdir, f"outfile{suffix}_{i:03d}.nc")
+        written.append(write_product(out, scene1, cfg, interp=False))
+        if cfg.do_interp:
+            written += interpolate_sequence(scene1, scene2, cfg, interp_dir)
+
+        u_prev = scene1.u_pix
+        v_prev = scene1.v_pix
+        if checkpoint:
+            _save_checkpoint(checkpoint, i, u_prev, v_prev)
+        # roll: frame i+1 becomes the new reference frame
+        scene2 = read_scene(files[i + 1], cfg, donav=True, scene=scene2)
+        scene1 = scene2
+    return written

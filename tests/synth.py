@@ -67,3 +67,30 @@ def blob_counts(h, w, cx, cy, amp=12000, sigma=6.0, base=2000):
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
     img = base + amp * np.exp(-(((xx - cx) ** 2 + (yy - cy) ** 2) / (2 * sigma ** 2)))
     return img.astype(np.int16)
+
+
+def make_flat_grid_file(path, data, grid="polar", t=650000000.0,
+                        x_scale=1000.0, y_scale=1000.0,
+                        lat1=90.0, lon0=0.0, lon1=0.0, R=6371000.0):
+    """Polar / mercator input file per oct_polarread / oct_mercread:
+    float Rad, int16 x/y (projected metres via scale/offset), a grid_mapping
+    variable with lat1/lon0/R or lon1/R, and t."""
+    h, w = data.shape
+    with h5py.File(path, "w") as f:
+        f.create_dataset("Rad", data=np.asarray(data, np.float32))
+        x = f.create_dataset("x", data=np.arange(w, dtype=np.int16))
+        x.attrs["scale_factor"] = np.float32(x_scale)
+        x.attrs["add_offset"] = np.float32(-x_scale * w / 2)
+        y = f.create_dataset("y", data=np.arange(h, dtype=np.int16))
+        y.attrs["scale_factor"] = np.float32(y_scale)
+        y.attrs["add_offset"] = np.float32(-y_scale * h / 2)
+        tv = f.create_dataset("t", data=np.float64(t))
+        tv.attrs["units"] = "seconds since 2000-01-01 12:00:00"
+        gm = f.create_dataset("grid_mapping", data=np.int32(0))
+        gm.attrs["R"] = np.float32(R)
+        if grid == "polar":
+            gm.attrs["lat1"] = np.float32(lat1)
+            gm.attrs["lon0"] = np.float32(lon0)
+        else:
+            gm.attrs["lon1"] = np.float32(lon1)
+    return path

@@ -129,3 +129,39 @@ class TestWriterRoundtrip:
             assert f["planck_fk1"][()] == pytest.approx(10803.3)
             # dimension scales attached
             assert f["U"].dims[0][0] == f["y"]
+
+
+class TestFlatGridPipeline:
+    def _flat_pair(self, tmp_path, grid):
+        h = w = 40
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        blob = lambda cx: 200 * np.exp(-(((xx - cx) ** 2 + (yy - 20) ** 2) / 32.0)) + 20
+        f1 = synth.make_flat_grid_file(str(tmp_path / "p1.nc"), blob(18),
+                                       grid=grid, t=0.0)
+        f2 = synth.make_flat_grid_file(str(tmp_path / "p2.nc"), blob(20),
+                                       grid=grid, t=600.0)
+        return f1, f2
+
+    @pytest.mark.parametrize("grid", ["polar", "mercator"])
+    def test_flat_pipeline(self, tmp_path, grid):
+        f1, f2 = self._flat_pair(tmp_path, grid)
+        cfg = OFConfig(grid=grid, kiters=2, cgiters=10)
+        out = run_pipeline(f1, f2, cfg, outdir=str(tmp_path))
+        suffix = "_polar" if grid == "polar" else "_merc"
+        assert out[0].endswith(f"outfile{suffix}.nc")
+        with h5py.File(out[0], "r") as f:
+            assert "U" in f and f["U"].dtype == np.float64
+            proj = ("polar_imager_projection" if grid == "polar"
+                    else "merc_imager_projection")
+            assert proj in f
+            assert "Rad" in f and f["Rad"].dtype == np.float32
+            u = f["U"][()]
+        # the blob moved +2 px = 2 km east over 600 s ~ 3.3 m/s
+        assert np.nanmax(np.abs(u)) > 1.0
+
+    def test_polar_reader_nav(self, tmp_path):
+        f1, _ = self._flat_pair(tmp_path, "polar")
+        cfg = OFConfig(grid="polar", kiters=2)
+        sc = read_scene(f1, cfg, donav=True)
+        assert sc.nav.lat1 == 90.0
+        assert sc.lat.max() <= 90.0 and sc.lat.min() > 80.0
