@@ -11,11 +11,18 @@ v5e-16 => ~14.7 Mpix/s/chip.  vs_baseline > 1 beats the target.
 """
 
 import json
+import os
 import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 NORTH_STAR_MPIX_S_PER_CHIP = (21696.0 ** 2 / 1e6) / 2.0 / 16.0   # ~14.71
 

@@ -165,3 +165,33 @@ class TestFlatGridPipeline:
         sc = read_scene(f1, cfg, donav=True)
         assert sc.nav.lat1 == 90.0
         assert sc.lat.max() <= 90.0 and sc.lat.min() > 80.0
+
+
+class TestMultiChannel:
+    def test_two_channel_pipeline(self, pair, tmp_path):
+        f1, f2, (h, w) = pair
+        # channel-2 files on the same grid (band 2 scaled counts)
+        c21 = synth.make_goes_file(str(tmp_path / "c21.nc"),
+                                   synth.blob_counts(h, w, 20, 24), band=9)
+        c22 = synth.make_goes_file(str(tmp_path / "c22.nc"),
+                                   synth.blob_counts(h, w, 23, 24), band=9)
+        cfg = OFConfig(kiters=2, cgiters=10)
+        out = run_pipeline(f1, f2, cfg, outdir=str(tmp_path),
+                           channel2=(c21, c22))
+        with h5py.File(out[0], "r") as f:
+            assert "Rad2" in f
+            assert "planck_fk1_2" in f
+            u_raw = f["U_raw"][()] * 0.01
+        blob = synth.blob_counts(h, w, 20, 24) > 8000
+        assert abs(np.median(u_raw[blob]) - 3.0) < 0.3
+
+    def test_firstguess_pipeline(self, pair, tmp_path):
+        f1, f2, (h, w) = pair
+        fg = synth.make_firstguess_file(str(tmp_path / "fg.nc"),
+                                        np.full((h, w), 3.0, np.float32),
+                                        np.zeros((h, w), np.float32))
+        cfg = OFConfig(kiters=2, cgiters=10, lambdac=0.5)
+        out = run_pipeline(f1, f2, cfg, outdir=str(tmp_path),
+                           firstguess_file=fg)
+        with h5py.File(out[0], "r") as f:
+            assert f["optical_flow_settings"].attrs["dofirstguess"] == 1

@@ -183,3 +183,35 @@ class TestEndToEnd:
         u2, v2 = variational_flow(
             im1, im2, z, z, OFConfig(kiters=2, solver="sor", cgiters=120))
         np.testing.assert_allclose(np.asarray(u1), np.asarray(u2), atol=0.08)
+
+
+class TestMultiChannelAssembly:
+    def test_two_channel_coefficients_match_oracle(self):
+        im1a, im2a = _pair(16, 18, seed=0)
+        im1b, im2b = _pair(16, 18, seed=4)
+        g1 = np.stack([im1a, im1b])
+        g2 = np.stack([im2a, im2b])
+        h, w = im1a.shape
+        rng = np.random.default_rng(6)
+        u = rng.normal(0, 1.0, (h, w)).astype(np.float32)
+        v = rng.normal(0, 1.0, (h, w)).astype(np.float32)
+        z = np.zeros((h, w), np.float32)
+        grads = {}
+        grads["gx1"], grads["gy1"] = (np.stack(a) for a in zip(*[ref.compgrad(c) for c in g1]))
+        grads["gx2"], grads["gy2"] = (np.stack(a) for a in zip(*[ref.compgrad(c) for c in g2]))
+        grads["gxx"] = np.stack([ref.compgrad(c)[0] for c in grads["gx2"]])
+        grads["gxy"] = np.stack([ref.compgrad(c)[0] for c in grads["gy2"]])
+        grads["gyy"] = np.stack([ref.compgrad(c)[1] for c in grads["gy2"]])
+        want = ref.assemble(g1, g2, grads, u, v, z, z, 0.5, 5.0, 0.2, 0.0, True)
+
+        gx1, gy1 = gradient_4th(jnp.asarray(g1))
+        gx2, gy2 = gradient_4th(jnp.asarray(g2))
+        gxx, _ = gradient_4th(gx2)
+        gxy, gyy = gradient_4th(gy2)
+        got = assemble(jnp.asarray(g1), jnp.asarray(g2), gx1, gy1, gx2, gy2,
+                       gxx, gxy, gyy, jnp.asarray(u), jnp.asarray(v),
+                       jnp.asarray(z), jnp.asarray(z), 0.5, 5.0, 0.2, 0.0, True)
+        for name, field in zip(("a1", "a2", "a4", "a5", "a6", "a7", "a8",
+                                "bu", "bv"), got):
+            np.testing.assert_allclose(np.asarray(field), want[name],
+                                       rtol=3e-4, atol=3e-4, err_msg=name)
