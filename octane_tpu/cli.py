@@ -30,6 +30,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-Merc", action="store_true", help="mercator grid input")
     p.add_argument("-ir", action="store_true", help="CTP stores IR temperatures")
     p.add_argument("-sosm", action="store_true", help="patch-match tracking")
+    p.add_argument("-hybrid", action="store_true",
+                   help="patch-match initialization + variational refinement")
     p.add_argument("-rad", type=int, default=2, help="patch radius for -sosm")
     p.add_argument("-srad", type=int, default=2, help="search radius for -sosm")
     p.add_argument("-interp", action="store_true", help="temporal interpolation")
@@ -70,7 +72,8 @@ def args_to_config(a: argparse.Namespace) -> OFConfig:
         ry, rx = a.mesh.lower().split("x")
         mesh_shape = (int(ry), int(rx))
     return OFConfig(
-        algorithm="patch_match" if a.sosm else "variational",
+        algorithm=("hybrid" if a.hybrid
+                   else "patch_match" if a.sosm else "variational"),
         dozim=not a.brox,
         alpha=a.alpha, lambda_=a.lambda_, lambdac=a.lambdac,
         kiters=a.kiters, liters=a.liters, cgiters=a.cgiters,

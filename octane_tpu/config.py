@@ -20,7 +20,8 @@ class OFConfig:
     """
 
     # --- algorithm selection -------------------------------------------------
-    algorithm: str = "variational"      # "variational" | "patch_match"
+    algorithm: str = "variational"      # "variational" | "patch_match" | "hybrid"
+                                        # (hybrid: patch-match init + variational refine)
     dozim: bool = True                  # Zimmer data-term normalization (-brox turns off)
     # --- variational solver weights (main.cc:77-88) --------------------------
     alpha: float = 5.0                  # smoothness weight
@@ -63,10 +64,13 @@ class OFConfig:
     mesh_shape: Tuple[int, int] = (1, 1)   # (rows, cols) spatial device mesh
     halo_warp: int = 16                    # warp-gather halo in sharded mode (px per side)
     use_pallas: bool = True                # enable Pallas kernels on TPU backends
+    fuse_assembly: bool = False            # fused warp+assembly kernel (no speedup
+                                           # over warp+XLA-fusion today, and much
+                                           # slower to compile; kept for study)
     solver: str = "pcg"                    # "pcg" | "sor" (red-black, shards better)
 
     def __post_init__(self):
-        if self.algorithm not in ("variational", "patch_match"):
+        if self.algorithm not in ("variational", "patch_match", "hybrid"):
             raise ValueError(f"unknown algorithm {self.algorithm!r}")
         if self.grid not in ("goes", "polar", "mercator"):
             raise ValueError(f"unknown grid {self.grid!r}")
@@ -87,7 +91,7 @@ class OFConfig:
     def oftype(self) -> int:
         if self.algorithm == "patch_match":
             return 4
-        return 1 if self.dozim else 3
+        return 1 if self.dozim else 3   # hybrid products record the refiner
 
     @property
     def lambda_over_alpha(self) -> float:

@@ -20,6 +20,18 @@ from octane_tpu.nav.winds import pix2uv, pix2uv_ms, uv2pix
 from octane_tpu.post.srsal import srsal_smooth
 
 
+def _variational(data1, data2, u0, v0, cfg: OFConfig):
+    """Dense solve, spatially sharded when cfg.mesh_shape requests it."""
+    import jax
+    ry, rx = cfg.mesh_shape
+    if ry * rx > 1 and len(jax.devices()) >= ry * rx:
+        from octane_tpu.parallel.mesh import make_mesh
+        from octane_tpu.parallel.sharded import sharded_variational_flow
+        mesh = make_mesh((ry, rx))
+        return sharded_variational_flow(data1, data2, u0, v0, cfg, mesh)
+    return variational_flow(data1, data2, u0, v0, cfg)
+
+
 def compute_flow(scene1: Scene, scene2: Scene, cfg: OFConfig,
                  first_guess=None) -> Scene:
     """Fill scene1's flow products from the (scene1, scene2) image pair.
@@ -46,14 +58,17 @@ def compute_flow(scene1: Scene, scene2: Scene, cfg: OFConfig,
         u0 = jnp.zeros((h, w), jnp.float32)
         v0 = jnp.zeros((h, w), jnp.float32)
 
-    # --- flow engine (ref :54-68) -------------------------------------------
-    if cfg.algorithm == "patch_match":
-        if scene1.nchannels > 1:
+    # --- flow engine (ref :54-68; "hybrid" = BASELINE config 4:
+    # patch-match initialization + variational refinement) -------------------
+    if cfg.algorithm in ("patch_match", "hybrid"):
+        if scene1.nchannels > 1 and cfg.algorithm == "patch_match":
             raise ValueError("patch match supports single-channel input only")
         u, v = patch_match_flow(
             scene1.data[0], scene2.data[0], u0, v0, cfg.rad, cfg.srad)
+        if cfg.algorithm == "hybrid":
+            u, v = _variational(scene1.data, scene2.data, u, v, cfg)
     else:
-        u, v = variational_flow(scene1.data, scene2.data, u0, v0, cfg)
+        u, v = _variational(scene1.data, scene2.data, u0, v0, cfg)
 
     scene1.u_pix = np.asarray(u)
     scene1.v_pix = np.asarray(v)

@@ -112,7 +112,7 @@ def assemble(
     geo1, geo2, gx1, gy1, gx2, gy2, gxx, gxy, gyy,
     u, v, uhat, vhat,
     al1, alpha, lam_over_alpha, lambdac, dozim: bool,
-    warp_fn=None,
+    warp_fn=None, stack=None,
 ) -> StencilSystem:
     """Build the linearized Euler-Lagrange system around the current (u, v).
 
@@ -167,7 +167,8 @@ def assemble(
     # --- warped data terms, accumulated over channels (ref :727-829) --------
     if warp_fn is None:
         warp_fn = warp_bilinear_dense
-    stack = jnp.concatenate([geo2, gx2, gy2, gxx, gxy, gyy], axis=0)
+    if stack is None:
+        stack = jnp.concatenate([geo2, gx2, gy2, gxx, gxy, gyy], axis=0)
     samples, bc_x, bc_y = warp_fn(stack, u, v)
     zero = jnp.zeros((h, w), f32)
     vr1 = vr2 = vr4 = vr5 = vr6 = intcomp = zero

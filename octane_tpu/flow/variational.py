@@ -33,13 +33,13 @@ from octane_tpu.flow.cg import pcg_solve, sor_solve
 @functools.partial(
     jax.jit,
     static_argnames=("liters", "cgiters", "gnc_steps", "dozim", "solver",
-                     "warp_fn"),
+                     "warp_fn", "assemble_fn"),
 )
 def solve_level(
     g1, g2, u, v, uhat, vhat,
     alpha, lam_over_alpha, lambdac, tol,
     liters: int, cgiters: int, gnc_steps: int, dozim: bool, solver: str = "pcg",
-    warp_fn=None,
+    warp_fn=None, assemble_fn=None,
 ):
     """Run GNC x inner iterations at one pyramid level.
 
@@ -50,15 +50,24 @@ def solve_level(
     gx2, gy2 = gradient_4th(g2)
     gxx, _ = gradient_4th(gx2)
     gxy, gyy = gradient_4th(gy2)   # Ixy = d/dx (d/dy geo2), as in ref :591-594
+    # warp-sample stack is loop-invariant: build (and pre-pad) once per level
+    stack = jnp.concatenate([g2, gx2, gy2, gxx, gxy, gyy], axis=0)
+    padder = assemble_fn if assemble_fn is not None else warp_fn
+    if padder is not None and hasattr(padder, "pad"):
+        stack = padder.pad(stack)
 
     def inner(t, uv):
         u, v = uv
         al1 = 1.0 - 0.5 * (t // liters).astype(jnp.float32)
-        sys = assemble(
-            g1, g2, gx1, gy1, gx2, gy2, gxx, gxy, gyy,
-            u, v, uhat, vhat, al1, alpha, lam_over_alpha, lambdac, dozim,
-            warp_fn=warp_fn,
-        )
+        if assemble_fn is not None:
+            sys = assemble_fn(stack, g1, gx1, gy1, u, v, uhat, vhat,
+                              al1, alpha, lam_over_alpha, lambdac)
+        else:
+            sys = assemble(
+                g1, g2, gx1, gy1, gx2, gy2, gxx, gxy, gyy,
+                u, v, uhat, vhat, al1, alpha, lam_over_alpha, lambdac, dozim,
+                warp_fn=warp_fn, stack=stack,
+            )
         if solver == "sor":
             du, dv = sor_solve(sys, tol, cgiters)
         else:
@@ -72,10 +81,12 @@ def solve_level(
     return u, v
 
 
-def _coarse_to_fine(geo1, geo2, u0, v0, cfg: OFConfig, warp_fns=None):
+def _coarse_to_fine(geo1, geo2, u0, v0, cfg: OFConfig, warp_fns=None,
+                    assemble_fns=None):
     """Trace the full pyramid schedule (shapes static, loop unrolled).
 
-    ``warp_fns`` optionally maps level index -> warp sampler (sharded path).
+    ``warp_fns`` / ``assemble_fns`` optionally map level index -> warp
+    sampler / fused assembly kernel (Pallas or sharded paths).
     """
     h, w = u0.shape
     kiters = cfg.kiters
@@ -106,6 +117,7 @@ def _coarse_to_fine(geo1, geo2, u0, v0, cfg: OFConfig, warp_fns=None):
             jnp.float32(lambdac_k), jnp.float32(cfg.cg_tol),
             cfg.liters, cfg.cgiters, cfg.gnc_steps, cfg.dozim, cfg.solver,
             warp_fn=warp_fns.get(k) if warp_fns else None,
+            assemble_fn=assemble_fns.get(k) if assemble_fns else None,
         )
     return u, v
 
@@ -123,25 +135,34 @@ def flow_program(cfg: OFConfig, shape, nchan: int):
     """
     key = (shape, nchan, cfg.alpha, cfg.lambda_, cfg.lambdac, cfg.scale_factor,
            cfg.kiters, cfg.liters, cfg.cgiters, cfg.gnc_steps, cfg.dozim,
-           cfg.solver, cfg.cg_tol, cfg.use_pallas)
+           cfg.solver, cfg.cg_tol, cfg.use_pallas, cfg.fuse_assembly)
     if key in _program_cache:
         return _program_cache[key]
 
-    # per-level Pallas warp kernels on TPU backends (12x over XLA's gather)
+    # per-level Pallas kernels on TPU backends: prefer the fused
+    # warp+assembly sweep, fall back to the standalone warp gather
     warp_fns = {}
+    assemble_fns = {}
     if cfg.use_pallas:
         from octane_tpu.ops.pallas.warp import make_pallas_warp
+        from octane_tpu.ops.pallas.assemble import make_pallas_assemble
         h, w = shape
         for k in range(cfg.kiters):
             factor = float(np.float32(cfg.scale_factor) ** (cfg.kiters - k - 1))
             lvl = (zoom_size(h, factor), zoom_size(w, factor))
+            if cfg.fuse_assembly:
+                af = make_pallas_assemble(lvl, nchan, cfg.dozim)
+                if af is not None:
+                    assemble_fns[k] = af
+                    continue
             wf = make_pallas_warp(lvl)
             if wf is not None:
                 warp_fns[k] = wf
 
     @jax.jit
     def program(geo1, geo2, u0, v0):
-        return _coarse_to_fine(geo1, geo2, u0, v0, cfg, warp_fns or None)
+        return _coarse_to_fine(geo1, geo2, u0, v0, cfg, warp_fns or None,
+                               assemble_fns or None)
 
     _program_cache[key] = program
     return program

@@ -168,8 +168,15 @@ def _build(k, h, w, dv, bh):
         ),
     )
 
+    pad_rows = (dv, src_h - bh - dv)
+
+    def pad(fields):
+        """Pre-pad the sample stack (hoistable: it is loop-invariant)."""
+        return jnp.pad(fields, ((0, 0), pad_rows, (PAD, PAD)))
+
     def run(fields, u, v):
-        padded = jnp.pad(fields, ((0, 0), (dv, src_h - bh - dv), (PAD, PAD)))
+        # accept either a raw (k, h, w) stack or one already padded
+        padded = fields if fields.shape[-1] == w + 2 * PAD else pad(fields)
         # per-block chunk bounds from the row displacement (mirrors the
         # kernel's jv1 computation exactly)
         jj = jnp.arange(h, dtype=jnp.float32)[:, None]
@@ -182,6 +189,7 @@ def _build(k, h, w, dv, bh):
         q_hi = (((jnp.max(d2b, axis=(1, 3)) + 1) // 8) + 1).astype(jnp.int32)
         return call(q_lo, q_hi, padded, u, v)
 
+    run.pad = pad
     return run
 
 
@@ -213,4 +221,6 @@ def make_pallas_warp(shape, max_disp_v: int = 30):
         k = fields.shape[0]
         return _build(k, h, w, int(max_disp_v), bh)(fields, u, v)
 
+    warp.pad = lambda fields: _build(
+        fields.shape[0], h, w, int(max_disp_v), bh).pad(fields)
     return warp

@@ -34,6 +34,7 @@ def run_pipeline(
     interp_dir: str = "./interpolation",
 ) -> List[str]:
     """Run the full flow pipeline; returns the list of files written."""
+    os.makedirs(outdir, exist_ok=True)
     scene1 = read_scene(file1, cfg, donav=True, channel=1)
     scene2 = read_scene(file2, cfg, donav=False, channel=1)
     if cfg.grid == "goes":

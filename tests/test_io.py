@@ -195,3 +195,28 @@ class TestMultiChannel:
                            firstguess_file=fg)
         with h5py.File(out[0], "r") as f:
             assert f["optical_flow_settings"].attrs["dofirstguess"] == 1
+
+
+class TestHybrid:
+    def test_hybrid_pipeline(self, pair, tmp_path):
+        f1, f2, (h, w) = pair
+        cfg = OFConfig(algorithm="hybrid", kiters=2, cgiters=10)
+        out = run_pipeline(f1, f2, cfg, outdir=str(tmp_path))
+        with h5py.File(out[0], "r") as f:
+            u_raw = f["U_raw"][()] * 0.01
+        blob = synth.blob_counts(h, w, 20, 24) > 8000
+        assert abs(np.median(u_raw[blob]) - 3.0) < 0.3
+
+
+class TestMeshPipeline:
+    def test_pipeline_on_virtual_mesh(self, pair, tmp_path):
+        """Full pipeline with the solve sharded over the 8-device CPU mesh."""
+        f1, f2, (h, w) = pair
+        # halo_warp must exceed max|flow|+2 (3 px blob shift here)
+        cfg = OFConfig(kiters=2, cgiters=10, mesh_shape=(2, 4), halo_warp=8)
+        out = run_pipeline(f1, f2, cfg, outdir=str(tmp_path))
+        cfg1 = OFConfig(kiters=2, cgiters=10)
+        out1 = run_pipeline(f1, f2, cfg1, outdir=str(tmp_path / "s"))
+        with h5py.File(out[0], "r") as fa, h5py.File(out1[0], "r") as fb:
+            np.testing.assert_allclose(fa["U_raw"][()], fb["U_raw"][()],
+                                       atol=1)   # +-0.01 px encoding steps
