@@ -14,6 +14,17 @@ whole solve; this kernel restructures it for the VPU:
   * row sampling is a select over the bounded window of row slices
     d in [-DV, DV+1], each a VMEM slice of the source window.
 
+Row adaptivity is two-level and data-driven: the host prefetches each grid
+block's min/max integer row displacement, the kernel skips whole 8-row
+chunks outside that range (`lax.cond` lowers to a real branch in Mosaic)
+and, inside a live chunk, skips each row slice individually.  A smooth flow
+field therefore touches only the 2-4 row slices it actually needs instead
+of the full 2*DV+2 window; DV only bounds the *reach*, it no longer sets
+the per-pixel work.  Column interpolation is folded in per row slice
+(p1*g1 + p2*g2 -- elementwise-identical to blending after selection), so
+each live (field, row) pair costs two lane gathers plus three multiply-adds
+and two selects.
+
 Displacements are clamped to the window reach (|u| <= PAD-2 = 62,
 |v| <= DV), exact whenever the per-level flow stays inside the bounds --
 the same documented approximation as the sharded halo warp.  Boundary flags
@@ -34,7 +45,7 @@ PAD = 64             # horizontal halo; max |u| = PAD - 2
 BW = SRC_W - 2 * PAD  # output block width (= 128, one vreg of lanes)
 
 
-def _kernel(qlo_ref, qhi_ref, f_hbm, u_ref, v_ref, o_ref, bx_ref, by_ref,
+def _kernel(dlo_ref, dhi_ref, f_hbm, u_ref, v_ref, o_ref, bx_ref, by_ref,
             src, sem, *, k, h, w, bh, dv, src_h):
     rb = pl.program_id(0)
     cb = pl.program_id(1)
@@ -85,54 +96,61 @@ def _kernel(qlo_ref, qhi_ref, f_hbm, u_ref, v_ref, o_ref, bx_ref, by_ref,
     sel1 = cip < 128
 
     # Dynamic sublane offsets must be 8-aligned: iterate 8-aligned chunks of
-    # the row window (fori keeps VMEM live ranges bounded) and apply the 8
-    # sub-shifts as static slices of the loaded chunk.  The chunk range is
-    # data-adaptive: the host passes each block's min/max row displacement
-    # via scalar prefetch, so smooth-flow blocks only touch 1-2 chunks.
+    # the row window via a fori_loop over the block's live chunk range (one
+    # compiled chunk body, dynamic trip count), and apply the 8 sub-shifts
+    # as static slices of the loaded chunk, each row individually guarded by
+    # the block's true [d_lo, d_hi + 1] row-displacement range
+    # (host-prefetched): smooth-flow blocks process only the couple of row
+    # slices they actually need.
     zero = jnp.zeros((bh, BW), jnp.float32)
-    q_lo = qlo_ref[rb, cb]
-    q_hi = qhi_ref[rb, cb]
-    nq = (2 * dv + 2) // 8
-    for c in range(k):
-        def chunk(q, acc):
-            f11, f21, f12, f22 = acc
-            start = pl.multiple_of(q * 8, 8)
-            blk = src[c, pl.ds(start, bh + 8), :]          # (bh+8, 256)
-            for r in range(8):
-                d = q * 8 + r
-                rows = jax.lax.slice_in_dim(blk, r, r + bh, axis=0)
-                r0 = rows[:, :128]
-                r1 = rows[:, 128:]
-                g1 = jnp.where(sel0, jnp.take_along_axis(r0, lo0, axis=1),
-                               jnp.take_along_axis(r1, hi0, axis=1))
-                g2 = jnp.where(sel1, jnp.take_along_axis(r0, lo1, axis=1),
-                               jnp.take_along_axis(r1, hi1, axis=1))
-                m_top = d2 == d      # this slice is row jv1 for these pixels
-                m_bot = d2 == d - 1  # and row jv1+1 for these
-                f11 = jnp.where(m_top, g1, f11)
-                f21 = jnp.where(m_top, g2, f21)
-                f12 = jnp.where(m_bot, g1, f12)
-                f22 = jnp.where(m_bot, g2, f22)
-            return f11, f21, f12, f22
+    d_lo = dlo_ref[rb, cb]
+    d_hi = dhi_ref[rb, cb]
 
-        # static loop (Mosaic unrolls and pipelines it); chunks outside the
-        # block's displacement range branch out via cond
-        acc = (zero, zero, zero, zero)
-        for q in range(nq):
+    def row_body(q, r, acc):
+        d = q * 8 + r
+        m_top = d2 == d      # this slice is row jv1 for these pixels
+        m_bot = d2 == d - 1  # and row jv1+1 for these
+        out = []
+        for c in range(k):
+            f_top, f_bot = acc[2 * c], acc[2 * c + 1]
+            blk = src[c, pl.ds(pl.multiple_of(q * 8, 8), bh + 8), :]
+            rows = jax.lax.slice_in_dim(blk, r, r + bh, axis=0)
+            r0 = rows[:, :128]
+            r1 = rows[:, 128:]
+            g1 = jnp.where(sel0, jnp.take_along_axis(r0, lo0, axis=1),
+                           jnp.take_along_axis(r1, hi0, axis=1))
+            g2 = jnp.where(sel1, jnp.take_along_axis(r0, lo1, axis=1),
+                           jnp.take_along_axis(r1, hi1, axis=1))
+            cb_ = p1 * g1 + p2 * g2            # column interpolation
+            out.append(jnp.where(m_top, cb_, f_top))
+            out.append(jnp.where(m_bot, cb_, f_bot))
+        return out
+
+    def chunk(q, acc):
+        for r in range(8):
+            d = q * 8 + r
             acc = jax.lax.cond(
-                (q >= q_lo) & (q < q_hi),
-                lambda a, q=q: chunk(q, a),
+                (d >= d_lo) & (d <= d_hi + 1),
+                lambda a, r=r: row_body(q, r, a),
                 lambda a: a,
                 acc)
-        f11, f21, f12, f22 = acc
-        o_ref[c] = p3 * (p1 * f11 + p2 * f21) + p4 * (p1 * f12 + p2 * f22)
+        return acc
+
+    acc = [zero] * (2 * k)
+    q_lo = d_lo // 8
+    q_hi = (d_hi + 1) // 8 + 1
+    acc = jax.lax.fori_loop(q_lo, q_hi, chunk, acc)
+    for c in range(k):
+        o_ref[c] = p3 * acc[2 * c] + p4 * acc[2 * c + 1]
 
 
 @functools.lru_cache(maxsize=None)
 def _build(k, h, w, dv, bh):
     # VMEM slices must be 8-aligned along sublanes: pick dv with
-    # 2*dv + 2 a multiple of 8 (dv = 3 mod 4)
-    dv = dv + ((3 - dv) % 4)
+    # 2*dv + 2 a multiple of 8.  dv = 3 (mod 8) additionally keeps the
+    # zero-displacement rows (d = dv, dv+1) inside ONE 8-row chunk, which
+    # halves the chunk count for near-translational flow.
+    dv = dv + ((3 - dv) % 8)
     src_h = bh + 2 * dv + 2
     gh, gw = h // bh, w // BW
     kern = functools.partial(_kernel, k=k, h=h, w=w, bh=bh, dv=dv, src_h=src_h)
@@ -177,17 +195,17 @@ def _build(k, h, w, dv, bh):
     def run(fields, u, v):
         # accept either a raw (k, h, w) stack or one already padded
         padded = fields if fields.shape[-1] == w + 2 * PAD else pad(fields)
-        # per-block chunk bounds from the row displacement (mirrors the
-        # kernel's jv1 computation exactly)
+        # per-block row-displacement bounds (mirrors the kernel's jv1
+        # computation exactly)
         jj = jnp.arange(h, dtype=jnp.float32)[:, None]
         py = jj + jnp.clip(v, -float(dv), float(dv))
         py = jnp.where(py < 0.0, 0.0, jnp.where(py >= h, float(h - 1), py))
         jv1 = jnp.minimum(py.astype(jnp.int32), h - 2)
         d2 = jv1 - jj.astype(jnp.int32) + dv
         d2b = d2.reshape(gh, bh, gw, BW)
-        q_lo = (jnp.min(d2b, axis=(1, 3)) // 8).astype(jnp.int32)
-        q_hi = (((jnp.max(d2b, axis=(1, 3)) + 1) // 8) + 1).astype(jnp.int32)
-        return call(q_lo, q_hi, padded, u, v)
+        d_lo = jnp.min(d2b, axis=(1, 3)).astype(jnp.int32)
+        d_hi = jnp.max(d2b, axis=(1, 3)).astype(jnp.int32)
+        return call(d_lo, d_hi, padded, u, v)
 
     run.pad = pad
     return run
