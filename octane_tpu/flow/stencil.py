@@ -112,7 +112,7 @@ def assemble(
     geo1, geo2, gx1, gy1, gx2, gy2, gxx, gxy, gyy,
     u, v, uhat, vhat,
     al1, alpha, lam_over_alpha, lambdac, dozim: bool,
-    warp_fn=None, stack=None,
+    warp_fn=None, stack=None, al1_static=None,
 ) -> StencilSystem:
     """Build the linearized Euler-Lagrange system around the current (u, v).
 
@@ -121,48 +121,59 @@ def assemble(
     GNC steps); ``lambdac`` is the per-level hinting weight (already divided
     by alpha and decayed 0.5^k).  ``warp_fn`` overrides the bilinear warp
     sampler (used by the sharded halo-exchange path).
+
+    ``al1_static``, when given, is the Python-float value of ``al1`` known
+    at trace time.  The fully-quadratic GNC step (al1 == 1) then skips the
+    entire robust-smoothness block -- its psi terms are multiplied by
+    (1 - al1) == 0 -- and emits the four off-diagonal stencil coefficients
+    as the scalar constant -1, which removes four (H, W) field reads from
+    every CG iteration of that step.  The emitted system is elementwise
+    identical to the dynamic-al1 path (x + 0*y == x for finite y).
     """
     c_, h, w = geo1.shape
     f32 = jnp.float32
     al1 = jnp.asarray(al1, f32)
     one_m_al1 = 1.0 - al1
+    quad_only = al1_static is not None and float(al1_static) == 1.0
 
     # --- smoothness weights from mirror-shifted neighbours (ref :654-725) ---
     uW = mirror_shift(u, -1, -1)
     uE = mirror_shift(u, 1, -1)
     uN = mirror_shift(u, -1, -2)
     uS = mirror_shift(u, 1, -2)
-    uNE = mirror_shift(uE, -1, -2)
-    uSE = mirror_shift(uE, 1, -2)
-    uNW = mirror_shift(uW, -1, -2)
-    uSW = mirror_shift(uW, 1, -2)
     vW = mirror_shift(v, -1, -1)
     vE = mirror_shift(v, 1, -1)
     vN = mirror_shift(v, -1, -2)
     vS = mirror_shift(v, 1, -2)
-    vNE = mirror_shift(vE, -1, -2)
-    vSE = mirror_shift(vE, 1, -2)
-    vNW = mirror_shift(vW, -1, -2)
-    vSW = mirror_shift(vW, 1, -2)
-
-    u_ip1 = _sq(uE - u) + _sq(0.25 * ((uSE - uNE) + (uS - uN))) \
-        + _sq(vE - v) + _sq(0.25 * ((vSE - vNE) + (vS - vN)))
-    u_im1 = _sq(u - uW) + _sq(0.25 * ((uSW - uNW) + (uS - uN))) \
-        + _sq(v - vW) + _sq(0.25 * ((vSW - vNW) + (vS - vN)))
-    u_jp1 = _sq(uS - u) + _sq(0.25 * ((uSE - uSW) + (uE - uW))) \
-        + _sq(vS - v) + _sq(0.25 * ((vSE - vSW) + (vE - vW)))
-    u_jm1 = _sq(u - uN) + _sq(0.25 * ((uNE - uNW) + (uE - uW))) \
-        + _sq(v - vN) + _sq(0.25 * ((vNE - vNW) + (vE - vW)))
-
-    psis1 = psi_deriv(u_im1)   # west
-    psis2 = psi_deriv(u_jm1)   # north
-    psis3 = psi_deriv(u_ip1)   # east
-    psis4 = psi_deriv(u_jp1)   # south
-    psistot = psis1 + psis2 + psis3 + psis4
-    psisnmiu = psis1 * uW + psis2 * uN + psis3 * uE + psis4 * uS
-    psisnmiv = psis1 * vW + psis2 * vN + psis3 * vE + psis4 * vS
     psisnmiuq = uW + uN + uE + uS
     psisnmivq = vW + vN + vE + vS
+
+    if not quad_only:
+        uNE = mirror_shift(uE, -1, -2)
+        uSE = mirror_shift(uE, 1, -2)
+        uNW = mirror_shift(uW, -1, -2)
+        uSW = mirror_shift(uW, 1, -2)
+        vNE = mirror_shift(vE, -1, -2)
+        vSE = mirror_shift(vE, 1, -2)
+        vNW = mirror_shift(vW, -1, -2)
+        vSW = mirror_shift(vW, 1, -2)
+
+        u_ip1 = _sq(uE - u) + _sq(0.25 * ((uSE - uNE) + (uS - uN))) \
+            + _sq(vE - v) + _sq(0.25 * ((vSE - vNE) + (vS - vN)))
+        u_im1 = _sq(u - uW) + _sq(0.25 * ((uSW - uNW) + (uS - uN))) \
+            + _sq(v - vW) + _sq(0.25 * ((vSW - vNW) + (vS - vN)))
+        u_jp1 = _sq(uS - u) + _sq(0.25 * ((uSE - uSW) + (uE - uW))) \
+            + _sq(vS - v) + _sq(0.25 * ((vSE - vSW) + (vE - vW)))
+        u_jm1 = _sq(u - uN) + _sq(0.25 * ((uNE - uNW) + (uE - uW))) \
+            + _sq(v - vN) + _sq(0.25 * ((vNE - vNW) + (vE - vW)))
+
+        psis1 = psi_deriv(u_im1)   # west
+        psis2 = psi_deriv(u_jm1)   # north
+        psis3 = psi_deriv(u_ip1)   # east
+        psis4 = psi_deriv(u_jp1)   # south
+        psistot = psis1 + psis2 + psis3 + psis4
+        psisnmiu = psis1 * uW + psis2 * uN + psis3 * uE + psis4 * uS
+        psisnmiv = psis1 * vW + psis2 * vN + psis3 * vE + psis4 * vS
 
     # --- warped data terms, accumulated over channels (ref :727-829) --------
     if warp_fn is None:
@@ -212,6 +223,20 @@ def assemble(
     psid = psi_deriv(intcomp) / alpha
     psid2 = lam_over_alpha * psi_deriv(intcomp2)
 
+    hint_u = lambdac * (u - uhat)
+    hint_v = lambdac * (v - vhat)
+
+    if quad_only:
+        # al1 == 1 at trace time: the pure-quadratic system of GNC step 0
+        # (coefficients ref :837-865 with the robust half zeroed)
+        a1 = vr1 / alpha + lam_over_alpha * vr12 + lambdac + 4.0
+        a2 = vr2 / alpha + lam_over_alpha * vr22
+        a4 = vr4 / alpha + lam_over_alpha * vr42 + lambdac + 4.0
+        a5 = a6 = a7 = a8 = jnp.float32(-1.0)
+        bu = vr5 / alpha + lam_over_alpha * vr52 - hint_u + psisnmiuq - 4.0 * u
+        bv = vr6 / alpha + lam_over_alpha * vr62 - hint_v + psisnmivq - 4.0 * v
+        return StencilSystem(a1, a2, a4, a5, a6, a7, a8, bu, bv)
+
     # --- stencil coefficients (ref :837-865) --------------------------------
     a1 = al1 * (vr1 / alpha + lam_over_alpha * vr12 + lambdac + 4.0) \
         + one_m_al1 * (psid * vr1 + psid2 * vr12 + lambdac + psistot)
@@ -225,8 +250,6 @@ def assemble(
     a8 = -(al1 + one_m_al1 * psis4)
 
     # --- right-hand side (ref :1086-1093) -----------------------------------
-    hint_u = lambdac * (u - uhat)
-    hint_v = lambdac * (v - vhat)
     bu = al1 * (vr5 / alpha + lam_over_alpha * vr52 - hint_u + psisnmiuq - 4.0 * u) \
         + one_m_al1 * (psid * vr5 + psid2 * vr52 - hint_u + psisnmiu - psistot * u)
     bv = al1 * (vr6 / alpha + lam_over_alpha * vr62 - hint_v + psisnmivq - 4.0 * v) \

@@ -56,28 +56,37 @@ def solve_level(
     if padder is not None and hasattr(padder, "pad"):
         stack = padder.pad(stack)
 
-    def inner(t, uv):
-        u, v = uv
-        al1 = 1.0 - 0.5 * (t // liters).astype(jnp.float32)
-        if assemble_fn is not None:
-            sys = assemble_fn(stack, g1, gx1, gy1, u, v, uhat, vhat,
-                              al1, alpha, lam_over_alpha, lambdac)
-        else:
-            sys = assemble(
-                g1, g2, gx1, gy1, gx2, gy2, gxx, gxy, gyy,
-                u, v, uhat, vhat, al1, alpha, lam_over_alpha, lambdac, dozim,
-                warp_fn=warp_fn, stack=stack,
-            )
-        if solver == "sor":
-            du, dv = sor_solve(sys, tol, cgiters)
-        else:
-            du, dv = pcg_solve(
-                lambda a, b: apply_stencil(sys, a, b),
-                sys.a1, sys.a4, sys.bu, sys.bv, tol, cgiters,
-            )
-        return u + du, v + dv
+    # GNC steps unrolled with a trace-time al1 (1, 0.5, 0): the quadratic
+    # first step then skips the robust-smoothness block entirely and its CG
+    # reads scalar off-diagonals (see assemble's al1_static).  The inner
+    # relinearization iterations stay a fori_loop.
+    def make_inner(al1_s):
+        al1 = jnp.float32(al1_s)
 
-    u, v = jax.lax.fori_loop(0, gnc_steps * liters, inner, (u, v))
+        def inner(_, uv):
+            u, v = uv
+            if assemble_fn is not None:
+                sys = assemble_fn(stack, g1, gx1, gy1, u, v, uhat, vhat,
+                                  al1, alpha, lam_over_alpha, lambdac)
+            else:
+                sys = assemble(
+                    g1, g2, gx1, gy1, gx2, gy2, gxx, gxy, gyy,
+                    u, v, uhat, vhat, al1, alpha, lam_over_alpha, lambdac,
+                    dozim, warp_fn=warp_fn, stack=stack, al1_static=al1_s,
+                )
+            if solver == "sor":
+                du, dv = sor_solve(sys, tol, cgiters)
+            else:
+                du, dv = pcg_solve(
+                    lambda a, b: apply_stencil(sys, a, b),
+                    sys.a1, sys.a4, sys.bu, sys.bv, tol, cgiters,
+                )
+            return u + du, v + dv
+
+        return inner
+
+    for g in range(gnc_steps):
+        u, v = jax.lax.fori_loop(0, liters, make_inner(1.0 - 0.5 * g), (u, v))
     return u, v
 
 
