@@ -64,9 +64,6 @@ class OFConfig:
     mesh_shape: Tuple[int, int] = (1, 1)   # (rows, cols) spatial device mesh
     halo_warp: int = 16                    # warp-gather halo in sharded mode (px per side)
     use_pallas: bool = True                # enable Pallas kernels on TPU backends
-    fuse_assembly: bool = False            # fused warp+assembly kernel (no speedup
-                                           # over warp+XLA-fusion today, and much
-                                           # slower to compile; kept for study)
     solver: str = "pcg"                    # "pcg" | "sor" (red-black, shards better)
 
     def __post_init__(self):

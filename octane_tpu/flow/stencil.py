@@ -127,8 +127,12 @@ def assemble(
     entire robust-smoothness block -- its psi terms are multiplied by
     (1 - al1) == 0 -- and emits the four off-diagonal stencil coefficients
     as the scalar constant -1, which removes four (H, W) field reads from
-    every CG iteration of that step.  The emitted system is elementwise
-    identical to the dynamic-al1 path (x + 0*y == x for finite y).
+    every CG iteration of that step.  The emitted system matches the
+    dynamic-al1 path elementwise (x + 0*y == x for finite y, up to the
+    IEEE signed-zero exception -0.0 + 0.0 == +0.0, which cannot surface
+    here: the diagonals include the strictly positive +4.0/psistot terms,
+    and equality of the full products is confirmed empirically by the
+    golden regression fixture).
     """
     c_, h, w = geo1.shape
     f32 = jnp.float32
@@ -220,9 +224,6 @@ def assemble(
         vr6 = vr6 + (-na * it) * iy
         vr62 = vr62 - (nb * ixt * ixy + nc * iyt * iyy)
 
-    psid = psi_deriv(intcomp) / alpha
-    psid2 = lam_over_alpha * psi_deriv(intcomp2)
-
     hint_u = lambdac * (u - uhat)
     hint_v = lambdac * (v - vhat)
 
@@ -236,6 +237,9 @@ def assemble(
         bu = vr5 / alpha + lam_over_alpha * vr52 - hint_u + psisnmiuq - 4.0 * u
         bv = vr6 / alpha + lam_over_alpha * vr62 - hint_v + psisnmivq - 4.0 * v
         return StencilSystem(a1, a2, a4, a5, a6, a7, a8, bu, bv)
+
+    psid = psi_deriv(intcomp) / alpha
+    psid2 = lam_over_alpha * psi_deriv(intcomp2)
 
     # --- stencil coefficients (ref :837-865) --------------------------------
     a1 = al1 * (vr1 / alpha + lam_over_alpha * vr12 + lambdac + 4.0) \

@@ -33,13 +33,13 @@ from octane_tpu.flow.cg import pcg_solve, sor_solve
 @functools.partial(
     jax.jit,
     static_argnames=("liters", "cgiters", "gnc_steps", "dozim", "solver",
-                     "warp_fn", "assemble_fn"),
+                     "warp_fn"),
 )
 def solve_level(
     g1, g2, u, v, uhat, vhat,
     alpha, lam_over_alpha, lambdac, tol,
     liters: int, cgiters: int, gnc_steps: int, dozim: bool, solver: str = "pcg",
-    warp_fn=None, assemble_fn=None,
+    warp_fn=None,
 ):
     """Run GNC x inner iterations at one pyramid level.
 
@@ -52,28 +52,17 @@ def solve_level(
     gxy, gyy = gradient_4th(gy2)   # Ixy = d/dx (d/dy geo2), as in ref :591-594
     # warp-sample stack is loop-invariant: build (and pre-pad) once per level
     stack = jnp.concatenate([g2, gx2, gy2, gxx, gxy, gyy], axis=0)
-    padder = assemble_fn if assemble_fn is not None else warp_fn
-    if padder is not None and hasattr(padder, "pad"):
-        stack = padder.pad(stack)
+    if warp_fn is not None and hasattr(warp_fn, "pad"):
+        stack = warp_fn.pad(stack)
 
-    # GNC steps unrolled with a trace-time al1 (1, 0.5, 0): the quadratic
-    # first step then skips the robust-smoothness block entirely and its CG
-    # reads scalar off-diagonals (see assemble's al1_static).  The inner
-    # relinearization iterations stay a fori_loop.
-    def make_inner(al1_s):
-        al1 = jnp.float32(al1_s)
-
-        def inner(_, uv):
+    def make_inner(al1, al1_s):
+        def inner(uv):
             u, v = uv
-            if assemble_fn is not None:
-                sys = assemble_fn(stack, g1, gx1, gy1, u, v, uhat, vhat,
-                                  al1, alpha, lam_over_alpha, lambdac)
-            else:
-                sys = assemble(
-                    g1, g2, gx1, gy1, gx2, gy2, gxx, gxy, gyy,
-                    u, v, uhat, vhat, al1, alpha, lam_over_alpha, lambdac,
-                    dozim, warp_fn=warp_fn, stack=stack, al1_static=al1_s,
-                )
+            sys = assemble(
+                g1, g2, gx1, gy1, gx2, gy2, gxx, gxy, gyy,
+                u, v, uhat, vhat, al1, alpha, lam_over_alpha, lambdac,
+                dozim, warp_fn=warp_fn, stack=stack, al1_static=al1_s,
+            )
             if solver == "sor":
                 du, dv = sor_solve(sys, tol, cgiters)
             else:
@@ -85,17 +74,26 @@ def solve_level(
 
         return inner
 
-    for g in range(gnc_steps):
-        u, v = jax.lax.fori_loop(0, liters, make_inner(1.0 - 0.5 * g), (u, v))
+    # Two traced bodies per level, not gnc_steps: the quadratic first step
+    # (al1 == 1 at trace time) skips the robust-smoothness block and reads
+    # scalar off-diagonals in its CG (see assemble's al1_static); all
+    # remaining GNC steps share one fori_loop body with al1 = 1 - 0.5*g
+    # computed from the loop index (their traces are otherwise identical).
+    quad = make_inner(jnp.float32(1.0), 1.0)
+    u, v = jax.lax.fori_loop(0, liters, lambda _, uv: quad(uv), (u, v))
+    if gnc_steps > 1:
+        def robust(i, uv):
+            g = 1.0 + (i // liters).astype(jnp.float32)
+            return make_inner(1.0 - 0.5 * g, None)(uv)
+        u, v = jax.lax.fori_loop(0, (gnc_steps - 1) * liters, robust, (u, v))
     return u, v
 
 
-def _coarse_to_fine(geo1, geo2, u0, v0, cfg: OFConfig, warp_fns=None,
-                    assemble_fns=None):
+def _coarse_to_fine(geo1, geo2, u0, v0, cfg: OFConfig, warp_fns=None):
     """Trace the full pyramid schedule (shapes static, loop unrolled).
 
-    ``warp_fns`` / ``assemble_fns`` optionally map level index -> warp
-    sampler / fused assembly kernel (Pallas or sharded paths).
+    ``warp_fns`` optionally maps level index -> warp sampler (Pallas or
+    sharded halo-exchange paths).
     """
     h, w = u0.shape
     kiters = cfg.kiters
@@ -126,7 +124,6 @@ def _coarse_to_fine(geo1, geo2, u0, v0, cfg: OFConfig, warp_fns=None,
             jnp.float32(lambdac_k), jnp.float32(cfg.cg_tol),
             cfg.liters, cfg.cgiters, cfg.gnc_steps, cfg.dozim, cfg.solver,
             warp_fn=warp_fns.get(k) if warp_fns else None,
-            assemble_fn=assemble_fns.get(k) if assemble_fns else None,
         )
     return u, v
 
@@ -144,34 +141,25 @@ def flow_program(cfg: OFConfig, shape, nchan: int):
     """
     key = (shape, nchan, cfg.alpha, cfg.lambda_, cfg.lambdac, cfg.scale_factor,
            cfg.kiters, cfg.liters, cfg.cgiters, cfg.gnc_steps, cfg.dozim,
-           cfg.solver, cfg.cg_tol, cfg.use_pallas, cfg.fuse_assembly)
+           cfg.solver, cfg.cg_tol, cfg.use_pallas)
     if key in _program_cache:
         return _program_cache[key]
 
-    # per-level Pallas kernels on TPU backends: prefer the fused
-    # warp+assembly sweep, fall back to the standalone warp gather
+    # per-level Pallas warp kernels on TPU backends
     warp_fns = {}
-    assemble_fns = {}
     if cfg.use_pallas:
         from octane_tpu.ops.pallas.warp import make_pallas_warp
-        from octane_tpu.ops.pallas.assemble import make_pallas_assemble
         h, w = shape
         for k in range(cfg.kiters):
             factor = float(np.float32(cfg.scale_factor) ** (cfg.kiters - k - 1))
             lvl = (zoom_size(h, factor), zoom_size(w, factor))
-            if cfg.fuse_assembly:
-                af = make_pallas_assemble(lvl, nchan, cfg.dozim)
-                if af is not None:
-                    assemble_fns[k] = af
-                    continue
             wf = make_pallas_warp(lvl)
             if wf is not None:
                 warp_fns[k] = wf
 
     @jax.jit
     def program(geo1, geo2, u0, v0):
-        return _coarse_to_fine(geo1, geo2, u0, v0, cfg, warp_fns or None,
-                               assemble_fns or None)
+        return _coarse_to_fine(geo1, geo2, u0, v0, cfg, warp_fns or None)
 
     _program_cache[key] = program
     return program

@@ -7,8 +7,7 @@ reflect boundary (left: reflect without edge repeat, right: symmetric with
 edge repeat -- oct_bc_cuda, :15-28).
 
 The 1369-tap window runs as a `lax.fori_loop` over taps of dynamic slices of
-the padded fields; a Pallas VMEM-tiled version lives in
-octane_tpu.ops.pallas.bilateral and is selected automatically on TPU.
+the padded fields.
 """
 
 from __future__ import annotations

@@ -75,7 +75,12 @@ def forward_splat(u, v, im1, im2, time):
 
 
 def fill_holes(ut, vt, max_iters: int = 10000):
-    """Fill -999 holes by iterated masked 3x3 neighbour means."""
+    """Fill -999 holes by iterated masked 3x3 neighbour means.
+
+    ``max_iters`` bounds the fixed-point iteration so an all-hole field
+    (e.g. flow products that are entirely fill values) terminates instead of
+    spinning on device; any holes still left keep the -999 sentinel.
+    """
     h, w = ut.shape
 
     def neighbours(a):
@@ -89,7 +94,7 @@ def fill_holes(ut, vt, max_iters: int = 10000):
         return out
 
     def step(state):
-        ut, vt, _ = state
+        ut, vt, _, it = state
         hole = ut < -998.0
         nsu = neighbours(ut)
         nsv = neighbours(vt)
@@ -99,13 +104,13 @@ def fill_holes(ut, vt, max_iters: int = 10000):
         can = hole & (cnt > 0)
         ut = jnp.where(can, su / jnp.maximum(cnt, 1.0), ut)
         vt = jnp.where(can, sv / jnp.maximum(cnt, 1.0), vt)
-        return ut, vt, jnp.sum(ut < -998.0)
+        return ut, vt, jnp.sum(ut < -998.0), it + 1
 
     def cond(state):
-        return state[2] > 0
+        return (state[2] > 0) & (state[3] < max_iters)
 
-    ut, vt, _ = jax.lax.while_loop(
-        cond, lambda s: step(s), (ut, vt, jnp.sum(ut < -998.0)))
+    ut, vt, _, _ = jax.lax.while_loop(
+        cond, step, (ut, vt, jnp.sum(ut < -998.0), jnp.int32(0)))
     return ut, vt
 
 
