@@ -6,29 +6,41 @@ bilinear lookups at oct_variational_optical_flow.cu:732-766).  XLA lowers the
 arbitrary 2-D gather to scalar loads (~2 ns/element), which dominates the
 whole solve; this kernel restructures it for the VPU:
 
-  * the fields are pre-padded by (DV rows, PAD cols) so every grid block can
-    DMA an aligned source window (K, BH + 2*DV + 2, 256) into VMEM;
-  * column sampling is a hardware lane gather (``dynamic_gather`` via
-    take_along_axis); the gathered dimension must fit one 128-lane vreg, so
-    the 256-wide window is gathered as two aligned halves selected by index;
-  * row sampling is a select over the bounded window of row slices
-    d in [-DV, DV+1], each a VMEM slice of the source window.
+  * every grid block DMAs one aligned source window (K, BH + 2*DV + 2, 384)
+    from the pre-padded fields in HBM into VMEM;
+  * **the window origin is data-driven**: the host prefetches each block's
+    minimum integer row/column sample index and the kernel DMAs from that
+    (8-aligned row, 128-aligned column) origin, so the displacement
+    MAGNITUDE is unlimited -- a 200-px jet displacement just moves the
+    window.  Only the within-block displacement *spread* must fit the
+    window slack (rows: 2*DV+1-7 ~ 31 px per 256-row block; columns: the
+    384-wide window covers the 128-lane base span + alignment remainder
+    with >= 126 px of u-spread slack) -- orders of magnitude beyond
+    physical wind shear at GOES pixel scales.  Out-of-window spread
+    overflow is clamped to the window edge (detectable post-hoc via
+    ``row_spread_within_reach``);
+  * pixels whose sample row clamps at the image boundary (py < 0 or
+    py >= h) break the block's diagonal row pattern but need exactly one
+    known row (row 0 when clamped low, since p4 == 0; row h-1 when
+    clamped high, since p3 == 0): each block also DMAs those two edge
+    rows, a gated edge path serves clamped pixels from them, and the
+    window stats exclude them -- boundary clamping never costs exactness
+    (columns are immune: their window is absolute over the lane base);
+  * column sampling is a hardware lane gather (take_along_axis) over the
+    three aligned 128-lane thirds of the window, selected by index;
+  * row sampling is a select over the window's row slices; the host also
+    prefetches each block's [d_lo, d_hi] slice range and the kernel skips
+    whole 8-row chunks outside it (`lax.cond` lowers to a real branch in
+    Mosaic), so smooth flow touches only the 2-4 live row slices;
+  * column interpolation is folded in per row slice (p1*g1 + p2*g2 --
+    elementwise-identical to blending after selection).
 
-Row adaptivity is two-level and data-driven: the host prefetches each grid
-block's min/max integer row displacement, the kernel skips whole 8-row
-chunks outside that range (`lax.cond` lowers to a real branch in Mosaic)
-and, inside a live chunk, skips each row slice individually.  A smooth flow
-field therefore touches only the 2-4 row slices it actually needs instead
-of the full 2*DV+2 window; DV only bounds the *reach*, it no longer sets
-the per-pixel work.  Column interpolation is folded in per row slice
-(p1*g1 + p2*g2 -- elementwise-identical to blending after selection), so
-each live (field, row) pair costs two lane gathers plus three multiply-adds
-and two selects.
-
-Displacements are clamped to the window reach (|u| <= PAD-2 = 62,
-|v| <= DV), exact whenever the per-level flow stays inside the bounds --
-the same documented approximation as the sharded halo warp.  Boundary flags
-and interpolation weights replicate the reference exactly.
+Arbitrary shapes are supported by padding: the grid runs over
+(ceil(H/BH)*BH, ceil(W/128)*128) and the clamping math uses the TRUE H/W,
+so real GOES sectors (full-disk 5424/21696, CONUS 2500x1500, odd pyramid
+levels) all hit this kernel; padded output rows/cols are cropped.
+Position clamps replicate oct_bc exactly (conditional clamp to the true
+edge); boundary flags and interpolation weights match the reference.
 """
 
 from __future__ import annotations
@@ -40,21 +52,35 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-SRC_W = 256          # source window width (two 128-lane vregs)
-PAD = 64             # horizontal halo; max |u| = PAD - 2
-BW = SRC_W - 2 * PAD  # output block width (= 128, one vreg of lanes)
+SRC_W = 384          # source window width (three 128-lane vregs)
+CPAD = 128           # left column padding (window origins are 128-aligned)
+BW = 128             # output block width (one vreg of lanes)
+DV = 19              # row window half-slack; 2*DV+2 rows per window, 8-aligned
 
 
-def _kernel(dlo_ref, dhi_ref, f_hbm, u_ref, v_ref, o_ref, bx_ref, by_ref,
-            src, sem, *, k, h, w, bh, dv, src_h):
+def _kernel(srow_ref, scol_ref, dlo_ref, dhi_ref, eflag_ref, f_hbm,
+            u_ref, v_ref, o_ref, bx_ref, by_ref,
+            src, er_lo, er_hi, sem, sem_lo, sem_hi, *, k, h, w, bh, dv, src_h):
     rb = pl.program_id(0)
     cb = pl.program_id(1)
+    s_row = pl.multiple_of(srow_ref[rb, cb], 8)
+    s_col = pl.multiple_of(scol_ref[rb, cb], 128)
 
-    # padded-array window: rows [rb*bh, rb*bh + src_h), cols [cb*BW, +256)
+    # data-driven window: padded rows [s_row, s_row+src_h), cols [s_col, +384)
     cp = pltpu.make_async_copy(
-        f_hbm.at[:, pl.ds(rb * bh, src_h), pl.ds(cb * BW, SRC_W)],
+        f_hbm.at[:, pl.ds(s_row, src_h), pl.ds(s_col, SRC_W)],
         src, sem)
     cp.start()
+    # edge rows 0 / h-1 for boundary-clamped pixels: row-clamped samples
+    # read exactly one of these two rows.  The host replicates them 8x into
+    # the top padding band (padded rows [0, 8) / [8, 16)) so the DMA moves
+    # whole 8-row tiles (sublane slicing must be 8-aligned).
+    cp_lo = pltpu.make_async_copy(
+        f_hbm.at[:, pl.ds(0, 8), pl.ds(s_col, SRC_W)], er_lo, sem_lo)
+    cp_hi = pltpu.make_async_copy(
+        f_hbm.at[:, pl.ds(8, 8), pl.ds(s_col, SRC_W)], er_hi, sem_hi)
+    cp_lo.start()
+    cp_hi.start()
 
     u = u_ref[:]
     v = v_ref[:]
@@ -62,15 +88,11 @@ def _kernel(dlo_ref, dhi_ref, f_hbm, u_ref, v_ref, o_ref, bx_ref, by_ref,
     jj = (rb * bh + lj).astype(jnp.float32)
     ii = (cb * BW + jax.lax.broadcasted_iota(jnp.int32, (bh, BW), 1)
           ).astype(jnp.float32)
-    # true positions for the boundary flags (ref :732-735)
-    px_t = ii + u
-    py_t = jj + v
-    bx_ref[:] = (px_t < 0.0) | (px_t >= w)
-    by_ref[:] = (py_t < 0.0) | (py_t >= h)
-    # window-clamped displacements, then the reference's conditional clamp
-    reach = float(PAD - 2)
-    px = ii + jnp.clip(u, -reach, reach)
-    py = jj + jnp.clip(v, -float(dv), float(dv))
+    px = ii + u
+    py = jj + v
+    # boundary flags, then the reference's conditional true-edge clamp
+    bx_ref[:] = (px < 0.0) | (px >= w)
+    by_ref[:] = (py < 0.0) | (py >= h)
     px = jnp.where(px < 0.0, 0.0, jnp.where(px >= w, float(w - 1), px))
     py = jnp.where(py < 0.0, 0.0, jnp.where(py >= h, float(h - 1), py))
     iv1 = jnp.minimum(px.astype(jnp.int32), w - 2)
@@ -80,28 +102,34 @@ def _kernel(dlo_ref, dhi_ref, f_hbm, u_ref, v_ref, o_ref, bx_ref, by_ref,
     p3 = (jv1 + 1).astype(jnp.float32) - py
     p4 = py - jv1.astype(jnp.float32)
 
-    # local coordinates inside the padded window
-    ci = iv1 + PAD - cb * BW                   # [2, 253]
-    d2 = jv1 + dv - rb * bh - lj               # slice index offset, [0, 2*dv]
+    # window-local coordinates; spread overflow clamps to the window edge
+    ci = jnp.clip(iv1 + CPAD - s_col, 0, SRC_W - 2)
+    d2 = jnp.clip(jv1 + bh - s_row - lj, 0, 2 * dv)
 
     cp.wait()
+    cp_lo.wait()
+    cp_hi.wait()
 
-    # two aligned half-window lane gathers selected by index half
-    lo0 = jnp.clip(ci, 0, 127)
-    hi0 = jnp.clip(ci - 128, 0, 127)
-    sel0 = ci < 128
+    # per-third lane-gather indices and the third-selection masks
     cip = ci + 1
-    lo1 = jnp.clip(cip, 0, 127)
-    hi1 = jnp.clip(cip - 128, 0, 127)
-    sel1 = cip < 128
+    idx0 = (jnp.clip(ci, 0, 127), jnp.clip(ci - 128, 0, 127),
+            jnp.clip(ci - 256, 0, 127), ci < 128, ci < 256)
+    idx1 = (jnp.clip(cip, 0, 127), jnp.clip(cip - 128, 0, 127),
+            jnp.clip(cip - 256, 0, 127), cip < 128, cip < 256)
+
+    def lane_gather(rows, idx):
+        a, b_, c_, s0, s1 = idx
+        g01 = jnp.where(s0, jnp.take_along_axis(rows[:, :128], a, axis=1),
+                        jnp.take_along_axis(rows[:, 128:256], b_, axis=1))
+        return jnp.where(s1, g01,
+                         jnp.take_along_axis(rows[:, 256:], c_, axis=1))
 
     # Dynamic sublane offsets must be 8-aligned: iterate 8-aligned chunks of
     # the row window via a fori_loop over the block's live chunk range (one
     # compiled chunk body, dynamic trip count), and apply the 8 sub-shifts
     # as static slices of the loaded chunk, each row individually guarded by
-    # the block's true [d_lo, d_hi + 1] row-displacement range
-    # (host-prefetched): smooth-flow blocks process only the couple of row
-    # slices they actually need.
+    # the block's true [d_lo, d_hi + 1] slice range (host-prefetched):
+    # smooth-flow blocks process only the couple of row slices they need.
     zero = jnp.zeros((bh, BW), jnp.float32)
     d_lo = dlo_ref[rb, cb]
     d_hi = dhi_ref[rb, cb]
@@ -115,12 +143,8 @@ def _kernel(dlo_ref, dhi_ref, f_hbm, u_ref, v_ref, o_ref, bx_ref, by_ref,
             f_top, f_bot = acc[2 * c], acc[2 * c + 1]
             blk = src[c, pl.ds(pl.multiple_of(q * 8, 8), bh + 8), :]
             rows = jax.lax.slice_in_dim(blk, r, r + bh, axis=0)
-            r0 = rows[:, :128]
-            r1 = rows[:, 128:]
-            g1 = jnp.where(sel0, jnp.take_along_axis(r0, lo0, axis=1),
-                           jnp.take_along_axis(r1, hi0, axis=1))
-            g2 = jnp.where(sel1, jnp.take_along_axis(r0, lo1, axis=1),
-                           jnp.take_along_axis(r1, hi1, axis=1))
+            g1 = lane_gather(rows, idx0)
+            g2 = lane_gather(rows, idx1)
             cb_ = p1 * g1 + p2 * g2            # column interpolation
             out.append(jnp.where(m_top, cb_, f_top))
             out.append(jnp.where(m_bot, cb_, f_bot))
@@ -143,21 +167,95 @@ def _kernel(dlo_ref, dhi_ref, f_hbm, u_ref, v_ref, o_ref, bx_ref, by_ref,
     for c in range(k):
         o_ref[c] = p3 * acc[2 * c] + p4 * acc[2 * c + 1]
 
+    # boundary-clamped rows: py < 0 samples row 0 with weight 1 (p4 == 0);
+    # py >= h samples row h-1 (p3 == 0).  These pixels are excluded from the
+    # window stats (their jv1 does not follow the block's lj pattern), so
+    # their values come from the edge-row slices instead.  Skipped entirely
+    # for interior blocks (the common case).
+    @pl.when(eflag_ref[rb, cb] != 0)
+    def _edges():
+        py_raw = jj + v
+        lo_m = py_raw < 0.0
+        hi_m = py_raw >= h
+
+        def replicate(rows8):
+            # (8, SRC_W) -> (bh, SRC_W) by 8-aligned concat doubling (a lane
+            # gather needs a physically-replicated standard-layout source)
+            r = rows8
+            while r.shape[0] < bh:
+                r = jnp.concatenate([r, r], axis=0)
+            return r
+
+        for c in range(k):
+            rlo = replicate(er_lo[c])
+            rhi = replicate(er_hi[c])
+            e_lo = p1 * lane_gather(rlo, idx0) + p2 * lane_gather(rlo, idx1)
+            e_hi = p1 * lane_gather(rhi, idx0) + p2 * lane_gather(rhi, idx1)
+            o_ref[c] = jnp.where(lo_m, e_lo, jnp.where(hi_m, e_hi, o_ref[c]))
+
+
+def _sample_indices(u, v, h, w, hp, wp):
+    """Integer sample cell origins (jv1, iv1) on the padded output grid,
+    mirroring the kernel's clamp math exactly."""
+    up = jnp.pad(u, ((0, hp - u.shape[0]), (0, wp - u.shape[1])))
+    vp = jnp.pad(v, ((0, hp - v.shape[0]), (0, wp - v.shape[1])))
+    jj = jnp.arange(hp, dtype=jnp.float32)[:, None]
+    ii = jnp.arange(wp, dtype=jnp.float32)[None, :]
+    px = ii + up
+    py = jj + vp
+    px = jnp.where(px < 0.0, 0.0, jnp.where(px >= w, float(w - 1), px))
+    py = jnp.where(py < 0.0, 0.0, jnp.where(py >= h, float(h - 1), py))
+    iv1 = jnp.minimum(px.astype(jnp.int32), w - 2)
+    jv1 = jnp.minimum(py.astype(jnp.int32), h - 2)
+    return jv1, iv1, up, vp
+
+
+_BIG = jnp.int32(1 << 30)
+
+
+def _block_stats(jv1, iv1, vp, h, w, hp, wp, bh):
+    """Per-block window stats + row-clamped-pixel flags.
+
+    Row stats run over the TRUE region excluding row-boundary-clamped
+    pixels: padded rows/cols and clamped rows have sample indices that do
+    not follow the block's lj pattern and would wreck the window; the
+    kernel serves clamped pixels from the dedicated edge-row slices instead
+    (``eflag`` marks blocks that have any).  Column stats run over the true
+    region including clamped pixels (the column window is absolute, so the
+    clamp cannot break the lane pattern).
+    """
+    gh, gw = hp // bh, wp // BW
+    valid = ((jnp.arange(hp, dtype=jnp.int32)[:, None] < h)
+             & (jnp.arange(wp, dtype=jnp.int32)[None, :] < w)
+             ).reshape(gh, bh, gw, BW)
+    py_raw = jnp.arange(hp, dtype=jnp.float32)[:, None] + vp
+    rclamp = ((py_raw < 0.0) | (py_raw >= h)).reshape(gh, bh, gw, BW)
+    rvalid = valid & ~rclamp
+    lj = jnp.arange(hp, dtype=jnp.int32)[:, None] % bh
+    t_row = (jv1 + bh - lj).reshape(gh, bh, gw, BW)
+    t_col = (iv1 + CPAD).reshape(gh, bh, gw, BW)
+    r_min = jnp.min(jnp.where(rvalid, t_row, _BIG), axis=(1, 3))
+    r_max = jnp.max(jnp.where(rvalid, t_row, -_BIG), axis=(1, 3))
+    c_min = jnp.min(jnp.where(valid, t_col, _BIG), axis=(1, 3))
+    c_max = jnp.max(jnp.where(valid, t_col, -_BIG), axis=(1, 3))
+    eflag = jnp.any(rclamp & valid, axis=(1, 3)).astype(jnp.int32)
+    return r_min, r_max, c_min, c_max, eflag
+
 
 @functools.lru_cache(maxsize=None)
-def _build(k, h, w, dv, bh):
-    # VMEM slices must be 8-aligned along sublanes: pick dv with
-    # 2*dv + 2 a multiple of 8.  dv = 3 (mod 8) additionally keeps the
-    # zero-displacement rows (d = dv, dv+1) inside ONE 8-row chunk, which
-    # halves the chunk count for near-translational flow.
-    dv = dv + ((3 - dv) % 8)
+def _build(k, h, w, dv, bh, hp, wp):
+    """Kernel at true dims (h, w), grid over padded dims (hp, wp)."""
     src_h = bh + 2 * dv + 2
-    gh, gw = h // bh, w // BW
+    gh, gw = hp // bh, wp // BW
+    # padded-array extents: rows get a bh top halo (so a window can start
+    # anywhere the clamp allows) and bottom slack; cols similarly
+    rows_p = hp + 2 * bh + 2 * dv + 2
+    cols_p = wp + CPAD + SRC_W
     kern = functools.partial(_kernel, k=k, h=h, w=w, bh=bh, dv=dv, src_h=src_h)
     call = pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=5,
             grid=(gh, gw),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.HBM),       # padded fields, HBM
@@ -176,69 +274,123 @@ def _build(k, h, w, dv, bh):
             ),
             scratch_shapes=[
                 pltpu.VMEM((k, src_h, SRC_W), jnp.float32),
+                pltpu.VMEM((k, 8, SRC_W), jnp.float32),
+                pltpu.VMEM((k, 8, SRC_W), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
                 pltpu.SemaphoreType.DMA,
             ],
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((k, h, w), jnp.float32),
-            jax.ShapeDtypeStruct((h, w), jnp.bool_),
-            jax.ShapeDtypeStruct((h, w), jnp.bool_),
+            jax.ShapeDtypeStruct((k, hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((hp, wp), jnp.bool_),
+            jax.ShapeDtypeStruct((hp, wp), jnp.bool_),
         ),
     )
 
-    pad_rows = (dv, src_h - bh - dv)
+    pad_rows = (bh, rows_p - h - bh)
+    pad_cols = (CPAD, cols_p - w - CPAD)
 
     def pad(fields):
-        """Pre-pad the sample stack (hoistable: it is loop-invariant)."""
-        return jnp.pad(fields, ((0, 0), pad_rows, (PAD, PAD)))
+        """Pre-pad the sample stack (hoistable: it is loop-invariant).
+
+        The top padding band doubles as edge-row storage for the kernel's
+        boundary-clamp path: padded rows [0, 8) hold row 0 replicated and
+        [8, 16) hold row h-1 (bh >= 32, so the band never reaches the true
+        rows; the band is only read through the clipped offsets of pixels
+        the edge path overwrites)."""
+        p = jnp.pad(fields, ((0, 0), pad_rows, pad_cols))
+        row0 = jnp.repeat(p[:, bh:bh + 1], 8, axis=1)
+        rowh = jnp.repeat(p[:, bh + h - 1:bh + h], 8, axis=1)
+        return p.at[:, 0:8].set(row0).at[:, 8:16].set(rowh)
 
     def run(fields, u, v):
         # accept either a raw (k, h, w) stack or one already padded
-        padded = fields if fields.shape[-1] == w + 2 * PAD else pad(fields)
-        # per-block row-displacement bounds (mirrors the kernel's jv1
-        # computation exactly)
-        jj = jnp.arange(h, dtype=jnp.float32)[:, None]
-        py = jj + jnp.clip(v, -float(dv), float(dv))
-        py = jnp.where(py < 0.0, 0.0, jnp.where(py >= h, float(h - 1), py))
-        jv1 = jnp.minimum(py.astype(jnp.int32), h - 2)
-        d2 = jv1 - jj.astype(jnp.int32) + dv
-        d2b = d2.reshape(gh, bh, gw, BW)
-        d_lo = jnp.min(d2b, axis=(1, 3)).astype(jnp.int32)
-        d_hi = jnp.max(d2b, axis=(1, 3)).astype(jnp.int32)
-        return call(d_lo, d_hi, padded, u, v)
+        padded = fields if fields.shape[-1] == cols_p else pad(fields)
+        jv1, iv1, up, vp = _sample_indices(u, v, h, w, hp, wp)
+        # per-block window origins from the minimum TRUE-region sample index
+        # (8-aligned rows / 128-aligned cols): the full 2*dv - 7 row slack is
+        # available to the spread above the min
+        r_min, r_max, c_min, _, eflag = _block_stats(
+            jv1, iv1, vp, h, w, hp, wp, bh)
+        s_row = jnp.clip(r_min // 8 * 8, 0, rows_p - src_h).astype(jnp.int32)
+        d_lo = jnp.clip(r_min - s_row, 0, 2 * dv).astype(jnp.int32)
+        d_hi = jnp.clip(r_max - s_row, 0, 2 * dv).astype(jnp.int32)
+        s_col = jnp.clip(c_min // 128 * 128,
+                         0, cols_p - SRC_W).astype(jnp.int32)
+        s, bx, by = call(s_row, s_col, d_lo, d_hi, eflag, padded, up, vp)
+        return s[:, :h, :w], bx[:h, :w], by[:h, :w]
 
     run.pad = pad
     return run
 
 
-def _pick_bh(h):
-    for bh in (256, 128, 64, 32):
-        if h % bh == 0:
-            return bh
-    return None
+def _round_dv(dv: int) -> int:
+    # VMEM slices must be 8-aligned along sublanes: pick dv with 2*dv + 2 a
+    # multiple of 8.  dv = 3 (mod 8) additionally keeps a centred window's
+    # zero-spread rows inside ONE 8-row chunk.
+    return dv + ((3 - dv) % 8)
+
+
+def _pick_bh(h: int, dv: int) -> int:
+    """Block height minimizing total DMA traffic ceil(h/bh)*(bh + 2dv + 2)."""
+    win = 2 * dv + 2
+    return min((256, 128, 64, 32),
+               key=lambda bh: (-(-h // bh) * (bh + win), -bh))
+
+
+def row_spread_within_reach(u, v, shape, max_disp_v: int = DV) -> bool:
+    """Post-hoc check that the kernel windows covered every sample: the
+    within-block spread of integer sample indices must fit the window slack
+    (rows: 2*DV+1 minus 8-row alignment; cols: 384 minus the 128-lane base
+    span and the 128 alignment).
+    Magnitude is unlimited by design -- only extreme shear can overflow,
+    in which case overflowing samples were clamped to their block's window
+    edge and the caller should warn (see octane_tpu.pipeline)."""
+    h, w = shape
+    dv = _round_dv(int(max_disp_v))
+    bh = _pick_bh(h, dv)
+    hp = -(-h // bh) * bh
+    wp = -(-w // BW) * BW
+    jv1, iv1, _, vp = _sample_indices(jnp.asarray(u, jnp.float32),
+                                      jnp.asarray(v, jnp.float32), h, w, hp, wp)
+    r_min, r_max, c_min, c_max, _ = _block_stats(
+        jv1, iv1, vp, h, w, hp, wp, bh)
+    # all-clamped blocks have r_min == +BIG > r_max == -BIG; their rows are
+    # served by the edge path, so treat the empty interior as zero spread
+    r_spread = jnp.maximum(r_max - r_min, 0)
+    ok = (jnp.max(r_spread) <= 2 * dv - 7) & (
+        jnp.max(c_max - c_min) <= SRC_W - 130)
+    return bool(ok)
 
 
 def pallas_warp_available(shape) -> bool:
-    """The kernel needs block-divisible shapes and a non-CPU backend."""
+    """Any shape >= 32x32 on a non-CPU backend (padding handles the rest);
+    smaller pyramid levels stay on the XLA gather, where they are cheap."""
     h, w = shape
     if jax.default_backend() == "cpu":
         return False
-    if w % BW != 0 or w < SRC_W:
-        return False
-    return _pick_bh(h) is not None
+    return h >= 32 and w >= 32
 
 
-def make_pallas_warp(shape, max_disp_v: int = 30):
-    """Warp sampler with the warp_bilinear_dense signature, or None."""
+def make_pallas_warp(shape, max_disp_v: int = DV):
+    """Warp sampler with the warp_bilinear_dense signature, or None.
+
+    Displacement magnitude is unbounded (data-driven window origins);
+    ``max_disp_v`` sets the per-block row-spread slack.
+    """
     h, w = shape
     if not pallas_warp_available(shape):
         return None
-    bh = _pick_bh(h)
+    dv = _round_dv(int(max_disp_v))
+    bh = _pick_bh(h, dv)
+    hp = -(-h // bh) * bh
+    wp = -(-w // BW) * BW
 
     def warp(fields, u, v):
         k = fields.shape[0]
-        return _build(k, h, w, int(max_disp_v), bh)(fields, u, v)
+        return _build(k, h, w, dv, bh, hp, wp)(fields, u, v)
 
     warp.pad = lambda fields: _build(
-        fields.shape[0], h, w, int(max_disp_v), bh).pad(fields)
+        fields.shape[0], h, w, dv, bh, hp, wp).pad(fields)
     return warp
