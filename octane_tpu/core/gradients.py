@@ -15,14 +15,23 @@ import jax.numpy as jnp
 from octane_tpu.core.bc import clamp_shift
 
 
-def gradient_4th(img: jnp.ndarray):
-    """Return (d/dx, d/dy) of a (..., H, W) image."""
-    def d(axis):
+def gradient_4th(img: jnp.ndarray, true_hw=None):
+    """Return (d/dx, d/dy) of a (..., H, W) image.
+
+    ``true_hw`` gives the true (H, W) when ``img`` carries trailing
+    mesh-divisibility padding: taps then clamp at the TRUE edge (values at
+    padded positions are don't-cares).
+    """
+    th = tw = None
+    if true_hw is not None:
+        th, tw = true_hw
+
+    def d(axis, tn):
         return (
-            -clamp_shift(img, 2, axis)
-            + 8.0 * clamp_shift(img, 1, axis)
-            - 8.0 * clamp_shift(img, -1, axis)
-            + clamp_shift(img, -2, axis)
+            -clamp_shift(img, 2, axis, tn)
+            + 8.0 * clamp_shift(img, 1, axis, tn)
+            - 8.0 * clamp_shift(img, -1, axis, tn)
+            + clamp_shift(img, -2, axis, tn)
         ) / 12.0
 
-    return d(-1), d(-2)
+    return d(-1, tw), d(-2, th)

@@ -40,7 +40,8 @@ def _weights_sigma(factor: float) -> float:
     return 0.6 * math.sqrt(1.0 / (factor * factor) - 1.0)
 
 
-def _catmull_matrix_1d(n_in: int, positions: np.ndarray) -> np.ndarray:
+def _catmull_matrix_1d(n_in: int, positions: np.ndarray,
+                       clamp_n: int = None) -> np.ndarray:
     """(n_out, n_in) Catmull-Rom interpolation matrix for static positions.
 
     Weights follow oct_bicubic exactly: tap indices are (int)-truncated and
@@ -48,11 +49,15 @@ def _catmull_matrix_1d(n_in: int, positions: np.ndarray) -> np.ndarray:
     edge sample), the fraction is measured from the clamped base index.
     Expressing static-position resampling as a matrix turns it into a
     matmul -- MXU work that XLA's SPMD partitioner shards natively.
+
+    ``clamp_n`` clamps taps to a TRUE extent < n_in when the input carries
+    trailing mesh-divisibility padding (padded columns are never read).
     """
     n_out = len(positions)
+    cn = n_in if clamp_n is None else clamp_n
     m = np.zeros((n_out, n_in), np.float32)
     for r, p in enumerate(positions):
-        taps = [min(max(int(np.trunc(p + o)), 0), n_in - 1) for o in (-1, 0, 1, 2)]
+        taps = [min(max(int(np.trunc(p + o)), 0), cn - 1) for o in (-1, 0, 1, 2)]
         x = np.float32(p) - np.float32(taps[1])
         w0 = 0.5 * (-x + 2 * x * x - x ** 3)
         w1 = 1.0 - 2.5 * x * x + 1.5 * x ** 3
@@ -63,7 +68,8 @@ def _catmull_matrix_1d(n_in: int, positions: np.ndarray) -> np.ndarray:
     return m
 
 
-def pyramid_downsample(img: jnp.ndarray, factor: float) -> jnp.ndarray:
+def pyramid_downsample(img: jnp.ndarray, factor: float,
+                       true_in=None) -> jnp.ndarray:
     """Solver-path downsample of a full-resolution (..., H, W) image.
 
     Blur with the per-level solver kernel, then point-sample at
@@ -71,17 +77,26 @@ def pyramid_downsample(img: jnp.ndarray, factor: float) -> jnp.ndarray:
     integer-position bicubic of zoom_out (oct_variational_optical_flow.cu:
     352-408, note `int i2 = ii/factor` at :369).  The subsample is a pair of
     one-hot selection matmuls so it shards under GSPMD.
+
+    ``true_in`` gives the true (H, W) when ``img`` carries trailing
+    mesh-divisibility padding.  The padded region of the input must be
+    edge-replicated (then the clamp-BC blur is exact at true pixels); the
+    subsample reads only true columns, and padded OUTPUT positions replicate
+    the last true level pixel.
     """
     h, w = img.shape[-2], img.shape[-1]
     nxx, nyy = zoom_size(w, factor), zoom_size(h, factor)
+    th, tw = (h, w) if true_in is None else true_in
+    tny, tnx = zoom_size(th, factor), zoom_size(tw, factor)
     fs = solver_filtsize(factor)
     kern = gaussian_kernel_1d(_weights_sigma(factor), fs)
     blurred = blur_separable(img, kern, fs)
-    # static integer subsample indices (float32 division + trunc, like CUDA)
-    ii = np.clip(np.trunc(np.arange(nxx, dtype=np.float32)
-                          / np.float32(factor)).astype(np.int64), 0, w - 1)
-    jj = np.clip(np.trunc(np.arange(nyy, dtype=np.float32)
-                          / np.float32(factor)).astype(np.int64), 0, h - 1)
+    # static integer subsample indices (float32 division + trunc, like CUDA);
+    # padded output rows/cols re-sample the last true index
+    ii = np.clip(np.trunc(np.minimum(np.arange(nxx), tnx - 1).astype(np.float32)
+                          / np.float32(factor)).astype(np.int64), 0, tw - 1)
+    jj = np.clip(np.trunc(np.minimum(np.arange(nyy), tny - 1).astype(np.float32)
+                          / np.float32(factor)).astype(np.int64), 0, th - 1)
     sy = np.zeros((nyy, h), np.float32)
     sy[np.arange(nyy), jj] = 1.0
     sx = np.zeros((nxx, w), np.float32)
@@ -92,22 +107,32 @@ def pyramid_downsample(img: jnp.ndarray, factor: float) -> jnp.ndarray:
                       preferred_element_type=jnp.float32)
 
 
-def zoom_in_flow(flow: jnp.ndarray, new_hw, scale_factor: float) -> jnp.ndarray:
+def zoom_in_flow(flow: jnp.ndarray, new_hw, scale_factor: float,
+                 true_in=None, true_out=None) -> jnp.ndarray:
     """Upsample a flow field to the next pyramid level and rescale it.
 
     Bicubic at i2 = ii/fx - (0.5 - 0.5/fx) (half-pixel centre offset), then
     divided by ``scale_factor`` to convert displacements to the finer grid
     (zoom_in, oct_variational_optical_flow.cu:450-466).  Separable
     interpolation matrices -> two matmuls (MXU, GSPMD-shardable).
+
+    With ``true_in``/``true_out`` set (mesh-divisibility padding), the
+    positions and the fx/fy ratios come from the TRUE level sizes -- so true
+    pixels match the unpadded solve bit-for-bit -- taps never read padded
+    input, and padded output rows replicate the last true row.
     """
     nyy, nxx = new_hw
     h, w = flow.shape[-2], flow.shape[-1]
-    fx = np.float32(nxx) / np.float32(w)
-    fy = np.float32(nyy) / np.float32(h)
-    i2 = (np.arange(nxx, dtype=np.float32) / fx) - (np.float32(0.5) - np.float32(0.5) / fx)
-    j2 = (np.arange(nyy, dtype=np.float32) / fy) - (np.float32(0.5) - np.float32(0.5) / fy)
-    ry = jnp.asarray(_catmull_matrix_1d(h, j2))
-    rx = jnp.asarray(_catmull_matrix_1d(w, i2))
+    tih, tiw = (h, w) if true_in is None else true_in
+    toh, tow = (nyy, nxx) if true_out is None else true_out
+    fx = np.float32(tow) / np.float32(tiw)
+    fy = np.float32(toh) / np.float32(tih)
+    iis = np.minimum(np.arange(nxx), tow - 1).astype(np.float32)
+    jjs = np.minimum(np.arange(nyy), toh - 1).astype(np.float32)
+    i2 = (iis / fx) - (np.float32(0.5) - np.float32(0.5) / fx)
+    j2 = (jjs / fy) - (np.float32(0.5) - np.float32(0.5) / fy)
+    ry = jnp.asarray(_catmull_matrix_1d(h, j2, clamp_n=tih))
+    rx = jnp.asarray(_catmull_matrix_1d(w, i2, clamp_n=tiw))
     out = jnp.einsum("yh,...hw->...yw", ry, flow,
                      preferred_element_type=jnp.float32)
     out = jnp.einsum("xw,...yw->...yx", rx, out,

@@ -88,6 +88,7 @@ def sor_solve(
     tol: float,
     iters: int,
     omega: float = 1.9,
+    true_hw=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Red-black SOR on the coupled stencil system (alternative relaxer).
 
@@ -103,7 +104,7 @@ def sor_solve(
     red = ((ii + jj) % 2 == 0)
 
     def colour_sweep(du, dv, mask):
-        au, av = apply_stencil(sys, du, dv)
+        au, av = apply_stencil(sys, du, dv, true_hw=true_hw)
         # Solve the local 2x2 block (a1 a2; a2 a4) exactly for the residual.
         ru = sys.bu - au
         rv = sys.bv - av

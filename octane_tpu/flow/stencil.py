@@ -42,14 +42,22 @@ class StencilSystem(NamedTuple):
     bv: jnp.ndarray   # rhs, v equation
 
 
-def apply_stencil(sys: StencilSystem, du: jnp.ndarray, dv: jnp.ndarray):
-    """Matrix-free A @ (du, dv) with mirror-at-1 boundary handling."""
+def apply_stencil(sys: StencilSystem, du: jnp.ndarray, dv: jnp.ndarray,
+                  true_hw=None):
+    """Matrix-free A @ (du, dv) with mirror-at-1 boundary handling.
+
+    ``true_hw`` places the mirror fixups at the TRUE edges when the fields
+    carry trailing mesh-divisibility padding (padded rows are decoupled
+    identity equations -- see ``assemble``).
+    """
+    th, tw = (None, None) if true_hw is None else true_hw
+
     def op(f):
         return (
-            sys.a5 * mirror_shift(f, -1, -1)
-            + sys.a7 * mirror_shift(f, 1, -1)
-            + sys.a6 * mirror_shift(f, -1, -2)
-            + sys.a8 * mirror_shift(f, 1, -2)
+            sys.a5 * mirror_shift(f, -1, -1, tw)
+            + sys.a7 * mirror_shift(f, 1, -1, tw)
+            + sys.a6 * mirror_shift(f, -1, -2, th)
+            + sys.a8 * mirror_shift(f, 1, -2, th)
         )
 
     au = sys.a1 * du + sys.a2 * dv + op(du)
@@ -61,15 +69,19 @@ def _sq(x):
     return x * x
 
 
-def _bilinear_coefs(u, v, h, w):
+def _bilinear_coefs(u, v, h, w, stride_w=None):
     """Warp positions + bilinear coefficients with the solver's clamping.
 
     Returns (idx00, p1, p2, p3, p4, bc_x, bc_y) where idx00 is the flat index
     of the cell origin and bc_x/bc_y flag positions that were clamped
-    (oct_variational_optical_flow.cu:727-758).
+    (oct_variational_optical_flow.cu:727-758).  ``h``/``w`` are the TRUE
+    image dims (clamping bounds); the output grid and the flat-index row
+    stride may be larger when the arrays carry trailing padding.
     """
-    ii = jnp.arange(w, dtype=jnp.float32)[None, :]
-    jj = jnp.arange(h, dtype=jnp.float32)[:, None]
+    gh, gw = u.shape
+    sw = w if stride_w is None else stride_w
+    ii = jnp.arange(gw, dtype=jnp.float32)[None, :]
+    jj = jnp.arange(gh, dtype=jnp.float32)[:, None]
     px = ii + u
     py = jj + v
     bc_x = (px < 0.0) | (px >= w)
@@ -84,19 +96,24 @@ def _bilinear_coefs(u, v, h, w):
     p2 = iv - iv1.astype(jnp.float32)
     p3 = (jv1 + 1).astype(jnp.float32) - jv
     p4 = jv - jv1.astype(jnp.float32)
-    idx00 = jv1 * w + iv1
+    idx00 = jv1 * sw + iv1
     return idx00, p1, p2, p3, p4, bc_x, bc_y
 
 
-def warp_bilinear_dense(fields: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
+def warp_bilinear_dense(fields: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
+                        true_hw=None):
     """Bilinear-sample a (K, H, W) stack at (i+u, j+v) with solver clamping.
 
     Returns (samples (K, H, W), bc_x, bc_y).  This is the single-device
     sampler; octane_tpu.parallel.sharded provides a halo-exchange variant
-    with the same signature for spatially sharded grids.
+    with the same signature for spatially sharded grids.  ``true_hw`` gives
+    the true dims when the stack carries trailing padding (samples clamp to
+    the true region; padded output pixels are don't-cares).
     """
     k, h, w = fields.shape
-    idx00, p1, p2, p3, p4, bc_x, bc_y = _bilinear_coefs(u, v, h, w)
+    th, tw = (h, w) if true_hw is None else true_hw
+    idx00, p1, p2, p3, p4, bc_x, bc_y = _bilinear_coefs(
+        u, v, th, tw, stride_w=w)
     flat = fields.reshape(k, -1)
     idx = idx00.reshape(-1)
 
@@ -112,7 +129,7 @@ def assemble(
     geo1, geo2, gx1, gy1, gx2, gy2, gxx, gxy, gyy,
     u, v, uhat, vhat,
     al1, alpha, lam_over_alpha, lambdac, dozim: bool,
-    warp_fn=None, stack=None, al1_static=None,
+    warp_fn=None, stack=None, al1_static=None, true_hw=None,
 ) -> StencilSystem:
     """Build the linearized Euler-Lagrange system around the current (u, v).
 
@@ -135,32 +152,33 @@ def assemble(
     golden regression fixture).
     """
     c_, h, w = geo1.shape
+    th, tw = (h, w) if true_hw is None else true_hw
     f32 = jnp.float32
     al1 = jnp.asarray(al1, f32)
     one_m_al1 = 1.0 - al1
     quad_only = al1_static is not None and float(al1_static) == 1.0
 
     # --- smoothness weights from mirror-shifted neighbours (ref :654-725) ---
-    uW = mirror_shift(u, -1, -1)
-    uE = mirror_shift(u, 1, -1)
-    uN = mirror_shift(u, -1, -2)
-    uS = mirror_shift(u, 1, -2)
-    vW = mirror_shift(v, -1, -1)
-    vE = mirror_shift(v, 1, -1)
-    vN = mirror_shift(v, -1, -2)
-    vS = mirror_shift(v, 1, -2)
+    uW = mirror_shift(u, -1, -1, tw)
+    uE = mirror_shift(u, 1, -1, tw)
+    uN = mirror_shift(u, -1, -2, th)
+    uS = mirror_shift(u, 1, -2, th)
+    vW = mirror_shift(v, -1, -1, tw)
+    vE = mirror_shift(v, 1, -1, tw)
+    vN = mirror_shift(v, -1, -2, th)
+    vS = mirror_shift(v, 1, -2, th)
     psisnmiuq = uW + uN + uE + uS
     psisnmivq = vW + vN + vE + vS
 
     if not quad_only:
-        uNE = mirror_shift(uE, -1, -2)
-        uSE = mirror_shift(uE, 1, -2)
-        uNW = mirror_shift(uW, -1, -2)
-        uSW = mirror_shift(uW, 1, -2)
-        vNE = mirror_shift(vE, -1, -2)
-        vSE = mirror_shift(vE, 1, -2)
-        vNW = mirror_shift(vW, -1, -2)
-        vSW = mirror_shift(vW, 1, -2)
+        uNE = mirror_shift(uE, -1, -2, th)
+        uSE = mirror_shift(uE, 1, -2, th)
+        uNW = mirror_shift(uW, -1, -2, th)
+        uSW = mirror_shift(uW, 1, -2, th)
+        vNE = mirror_shift(vE, -1, -2, th)
+        vSE = mirror_shift(vE, 1, -2, th)
+        vNW = mirror_shift(vW, -1, -2, th)
+        vSW = mirror_shift(vW, 1, -2, th)
 
         u_ip1 = _sq(uE - u) + _sq(0.25 * ((uSE - uNE) + (uS - uN))) \
             + _sq(vE - v) + _sq(0.25 * ((vSE - vNE) + (vS - vN)))
@@ -181,7 +199,8 @@ def assemble(
 
     # --- warped data terms, accumulated over channels (ref :727-829) --------
     if warp_fn is None:
-        warp_fn = warp_bilinear_dense
+        def warp_fn(s, uu, vv):
+            return warp_bilinear_dense(s, uu, vv, true_hw=(th, tw))
     if stack is None:
         stack = jnp.concatenate([geo2, gx2, gy2, gxx, gxy, gyy], axis=0)
     samples, bc_x, bc_y = warp_fn(stack, u, v)
@@ -236,7 +255,8 @@ def assemble(
         a5 = a6 = a7 = a8 = jnp.float32(-1.0)
         bu = vr5 / alpha + lam_over_alpha * vr52 - hint_u + psisnmiuq - 4.0 * u
         bv = vr6 / alpha + lam_over_alpha * vr62 - hint_v + psisnmivq - 4.0 * v
-        return StencilSystem(a1, a2, a4, a5, a6, a7, a8, bu, bv)
+        return _mask_padded(
+            StencilSystem(a1, a2, a4, a5, a6, a7, a8, bu, bv), th, tw, h, w)
 
     psid = psi_deriv(intcomp) / alpha
     psid2 = lam_over_alpha * psi_deriv(intcomp2)
@@ -259,4 +279,26 @@ def assemble(
     bv = al1 * (vr6 / alpha + lam_over_alpha * vr62 - hint_v + psisnmivq - 4.0 * v) \
         + one_m_al1 * (psid * vr6 + psid2 * vr62 - hint_v + psisnmiv - psistot * v)
 
-    return StencilSystem(a1, a2, a4, a5, a6, a7, a8, bu, bv)
+    return _mask_padded(
+        StencilSystem(a1, a2, a4, a5, a6, a7, a8, bu, bv), th, tw, h, w)
+
+
+def _mask_padded(sysm: StencilSystem, th, tw, h, w) -> StencilSystem:
+    """Decouple mesh-divisibility padding rows: identity diagonal, zero
+    off-diagonals and rhs.  Their CG residuals are then exactly zero, so
+    padded pixels never influence dot products or true-pixel updates (the
+    true edge pixels' out-of-range couplings are already folded back by the
+    bounded mirror shifts in apply_stencil)."""
+    if (th, tw) == (h, w):
+        return sysm
+    jj = jnp.arange(h, dtype=jnp.int32)[:, None]
+    ii = jnp.arange(w, dtype=jnp.int32)[None, :]
+    pad = (jj >= th) | (ii >= tw)
+
+    def m(a, padval):
+        return jnp.where(pad, jnp.float32(padval), a)
+
+    return StencilSystem(
+        m(sysm.a1, 1.0), m(sysm.a2, 0.0), m(sysm.a4, 1.0),
+        m(sysm.a5, 0.0), m(sysm.a6, 0.0), m(sysm.a7, 0.0), m(sysm.a8, 0.0),
+        m(sysm.bu, 0.0), m(sysm.bv, 0.0))

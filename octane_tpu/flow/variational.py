@@ -33,23 +33,28 @@ from octane_tpu.flow.cg import pcg_solve, sor_solve
 @functools.partial(
     jax.jit,
     static_argnames=("liters", "cgiters", "gnc_steps", "dozim", "solver",
-                     "warp_fn"),
+                     "warp_fn", "true_hw"),
 )
 def solve_level(
     g1, g2, u, v, uhat, vhat,
     alpha, lam_over_alpha, lambdac, tol,
     liters: int, cgiters: int, gnc_steps: int, dozim: bool, solver: str = "pcg",
-    warp_fn=None,
+    warp_fn=None, true_hw=None,
 ):
     """Run GNC x inner iterations at one pyramid level.
 
     g1/g2: (C, H, W) level images; u/v: initial flow; uhat/vhat: first-guess
     hint fields at this level.  Returns the updated (u, v).
+
+    ``true_hw``: the true level dims when the arrays carry trailing
+    mesh-divisibility padding (sharded path).  All boundary handling then
+    happens at the true edges and padded pixels are decoupled identity rows,
+    so true-pixel results match the unpadded solve.
     """
-    gx1, gy1 = gradient_4th(g1)
-    gx2, gy2 = gradient_4th(g2)
-    gxx, _ = gradient_4th(gx2)
-    gxy, gyy = gradient_4th(gy2)   # Ixy = d/dx (d/dy geo2), as in ref :591-594
+    gx1, gy1 = gradient_4th(g1, true_hw)
+    gx2, gy2 = gradient_4th(g2, true_hw)
+    gxx, _ = gradient_4th(gx2, true_hw)
+    gxy, gyy = gradient_4th(gy2, true_hw)  # Ixy = d/dx (d/dy geo2), ref :591-594
     # warp-sample stack is loop-invariant: build (and pre-pad) once per level
     stack = jnp.concatenate([g2, gx2, gy2, gxx, gxy, gyy], axis=0)
     if warp_fn is not None and hasattr(warp_fn, "pad"):
@@ -62,12 +67,13 @@ def solve_level(
                 g1, g2, gx1, gy1, gx2, gy2, gxx, gxy, gyy,
                 u, v, uhat, vhat, al1, alpha, lam_over_alpha, lambdac,
                 dozim, warp_fn=warp_fn, stack=stack, al1_static=al1_s,
+                true_hw=true_hw,
             )
             if solver == "sor":
-                du, dv = sor_solve(sys, tol, cgiters)
+                du, dv = sor_solve(sys, tol, cgiters, true_hw=true_hw)
             else:
                 du, dv = pcg_solve(
-                    lambda a, b: apply_stencil(sys, a, b),
+                    lambda a, b: apply_stencil(sys, a, b, true_hw=true_hw),
                     sys.a1, sys.a4, sys.bu, sys.bv, tol, cgiters,
                 )
             return u + du, v + dv
@@ -89,34 +95,46 @@ def solve_level(
     return u, v
 
 
-def _coarse_to_fine(geo1, geo2, u0, v0, cfg: OFConfig, warp_fns=None):
+def _coarse_to_fine(geo1, geo2, u0, v0, cfg: OFConfig, warp_fns=None,
+                    true_shape=None):
     """Trace the full pyramid schedule (shapes static, loop unrolled).
 
     ``warp_fns`` optionally maps level index -> warp sampler (Pallas or
-    sharded halo-exchange paths).
+    sharded halo-exchange paths).  ``true_shape`` gives the true (H, W) when
+    the inputs carry trailing mesh-divisibility padding (padded with edge
+    replication); level sizes, resampling positions and boundary handling
+    then follow the TRUE dims, so true pixels match the unpadded schedule
+    and the returned padded flow only needs cropping.
     """
     h, w = u0.shape
+    th, tw = (h, w) if true_shape is None else true_shape
+    padded = (th, tw) != (h, w)
     kiters = cfg.kiters
     u = v = None
+    prev_true = None
     for k in range(kiters):
         factor = float(np.float32(cfg.scale_factor) ** (kiters - k - 1))
         nxx, nyy = zoom_size(w, factor), zoom_size(h, factor)
+        tnx, tny = zoom_size(tw, factor), zoom_size(th, factor)
         lambdac_k = (cfg.lambdac / cfg.alpha) * (0.5 ** k)
+        true_in = (th, tw) if padded else None
 
         if k == kiters - 1:
             g1, g2 = geo1, geo2
             uhat, vhat = u0, v0
         else:
-            g1 = pyramid_downsample(geo1, factor)
-            g2 = pyramid_downsample(geo2, factor)
-            uhat = pyramid_downsample(u0, factor) * jnp.float32(factor)
-            vhat = pyramid_downsample(v0, factor) * jnp.float32(factor)
+            g1 = pyramid_downsample(geo1, factor, true_in)
+            g2 = pyramid_downsample(geo2, factor, true_in)
+            uhat = pyramid_downsample(u0, factor, true_in) * jnp.float32(factor)
+            vhat = pyramid_downsample(v0, factor, true_in) * jnp.float32(factor)
 
         if k == 0:
             u, v = uhat, vhat
         else:
-            u = zoom_in_flow(u, (nyy, nxx), cfg.scale_factor)
-            v = zoom_in_flow(v, (nyy, nxx), cfg.scale_factor)
+            zi = prev_true if padded else None
+            zo = (tny, tnx) if padded else None
+            u = zoom_in_flow(u, (nyy, nxx), cfg.scale_factor, zi, zo)
+            v = zoom_in_flow(v, (nyy, nxx), cfg.scale_factor, zi, zo)
 
         u, v = solve_level(
             g1, g2, u, v, uhat, vhat,
@@ -124,7 +142,9 @@ def _coarse_to_fine(geo1, geo2, u0, v0, cfg: OFConfig, warp_fns=None):
             jnp.float32(lambdac_k), jnp.float32(cfg.cg_tol),
             cfg.liters, cfg.cgiters, cfg.gnc_steps, cfg.dozim, cfg.solver,
             warp_fn=warp_fns.get(k) if warp_fns else None,
+            true_hw=(tny, tnx) if padded else None,
         )
+        prev_true = (tny, tnx)
     return u, v
 
 

@@ -4,19 +4,28 @@ The per-level solver program is identical to the single-device one -- XLA's
 SPMD partitioner localizes every shift/blur/reduction given sharded inputs --
 except the flow-dependent warp gather, which is swapped for a shard_map
 kernel: each shard pads its block with a +/-``halo``-pixel ppermute halo and
-gathers locally, with displacements clamped to the halo (exact whenever
-max |flow| < halo - 2 at that pyramid level, which coarse-to-fine guarantees
-for physically plausible motion; the halo is configurable via
-OFConfig.halo_warp).
+gathers locally.
 
-Levels whose size does not divide the mesh fall back to the dense gather,
-which GSPMD handles with collectives (correct, slower).
+**Mesh-divisibility padding** (SURVEY section 7 hard part 3): real sector
+dims (5424, 21696, odd pyramid levels) rarely divide the mesh, so the global
+inputs are edge-replication padded ONCE to a size whose every pyramid level
+is mesh-divisible.  All resampling positions, boundary fixups and the linear
+system itself follow the TRUE dims (see flow.variational._coarse_to_fine),
+padded pixels are decoupled identity rows with exactly-zero CG residuals,
+and the output is cropped -- true pixels match the unpadded solve while the
+halo warp engages at EVERY level.
+
+**Warp-reach guard**: the halo warp is exact only while max |flow| <=
+halo - 2.  Each warp call reduces max |u|,|v| (a cheap psum'd scalar) and
+`lax.cond`-falls back to the dense XLA gather (GSPMD collectives, unbounded)
+when the bound is exceeded -- displacement is never silently clamped (the
+reference has no reach bound, oct_variational_optical_flow.cu:732-745).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 import jax
@@ -25,21 +34,50 @@ from jax import lax
 from jax.sharding import PartitionSpec as P
 
 from octane_tpu.config import OFConfig
-from octane_tpu.core.zoom import pyramid_downsample, zoom_in_flow, zoom_size
-from octane_tpu.flow.variational import solve_level
+from octane_tpu.core.zoom import zoom_size
+from octane_tpu.flow.stencil import warp_bilinear_dense
 from octane_tpu.parallel.halo import halo_pad2d
 from octane_tpu.parallel.mesh import image_sharding, flow_sharding
 
 _warp_cache = {}
 
 
-def make_sharded_warp(mesh, global_hw: Tuple[int, int], halo: int):
+def padded_global_shape(shape, cfg: OFConfig,
+                        mesh_shape: Tuple[int, int]) -> Optional[Tuple[int, int]]:
+    """Smallest (Hp, Wp) >= shape whose EVERY pyramid level size
+    zoom_size(n, scaleF^j) divides the mesh; None if no candidate is found
+    (non-standard scale factors -- callers then keep the unpadded shape and
+    accept dense-gather levels)."""
+    ry, rx = mesh_shape
+
+    def find(n, r):
+        factors = [float(np.float32(cfg.scale_factor) ** j)
+                   for j in range(cfg.kiters)]
+        for cand in range(n, n + r * 2 ** cfg.kiters + r + 1):
+            if all(zoom_size(cand, f) % r == 0 for f in factors):
+                return cand
+        return None
+
+    hp = find(shape[0], ry)
+    wp = find(shape[1], rx)
+    if hp is None or wp is None:
+        return None
+    return hp, wp
+
+
+def make_sharded_warp(mesh, global_hw: Tuple[int, int], halo: int,
+                      true_hw: Optional[Tuple[int, int]] = None):
     """Build a warp sampler (same signature as warp_bilinear_dense) that
-    gathers from a halo-padded local block inside shard_map."""
-    key = (id(mesh), global_hw, halo)
+    gathers from a halo-padded local block inside shard_map, guarded by a
+    runtime max-|flow| check with a dense-gather fallback.
+
+    ``global_hw`` is the (padded) array shape; ``true_hw`` the true image
+    dims used for the reference's conditional position clamps."""
+    gh, gw = global_hw
+    th, tw = global_hw if true_hw is None else true_hw
+    key = (id(mesh), global_hw, (th, tw), halo)
     if key in _warp_cache:
         return _warp_cache[key]
-    gh, gw = global_hw
     ry = mesh.shape["dy"]
     rx = mesh.shape["dx"]
     hl, wl = gh // ry, gw // rx
@@ -54,7 +92,7 @@ def make_sharded_warp(mesh, global_hw: Tuple[int, int], halo: int):
         in_specs=(P(None, "dy", "dx"), P("dy", "dx"), P("dy", "dx")),
         out_specs=(P(None, "dy", "dx"), P("dy", "dx"), P("dy", "dx")),
     )
-    def warp(fields, u, v):
+    def halo_warp(fields, u, v):
         k = fields.shape[0]
         gy0 = (lax.axis_index("dy") * hl).astype(jnp.float32)
         gx0 = (lax.axis_index("dx") * wl).astype(jnp.float32)
@@ -62,17 +100,17 @@ def make_sharded_warp(mesh, global_hw: Tuple[int, int], halo: int):
         jj = gy0 + jnp.arange(hl, dtype=jnp.float32)[:, None]
         px_true = ii + u
         py_true = jj + v
-        bc_x = (px_true < 0.0) | (px_true >= gw)
-        bc_y = (py_true < 0.0) | (py_true >= gh)
-        # clamp the displacement to the halo reach (documented approximation)
+        bc_x = (px_true < 0.0) | (px_true >= tw)
+        bc_y = (py_true < 0.0) | (py_true >= th)
+        # the reach clamp is a no-op whenever the guard picked this path
         reach = float(halo - 2)
         px = ii + jnp.clip(u, -reach, reach)
         py = jj + jnp.clip(v, -reach, reach)
-        # conditional global clamp (oct_bc semantics)
-        px = jnp.where(px < 0.0, 0.0, jnp.where(px >= gw, float(gw - 1), px))
-        py = jnp.where(py < 0.0, 0.0, jnp.where(py >= gh, float(gh - 1), py))
-        iv1 = jnp.minimum(px.astype(jnp.int32), gw - 2)
-        jv1 = jnp.minimum(py.astype(jnp.int32), gh - 2)
+        # conditional TRUE-edge clamp (oct_bc semantics)
+        px = jnp.where(px < 0.0, 0.0, jnp.where(px >= tw, float(tw - 1), px))
+        py = jnp.where(py < 0.0, 0.0, jnp.where(py >= th, float(th - 1), py))
+        iv1 = jnp.minimum(px.astype(jnp.int32), tw - 2)
+        jv1 = jnp.minimum(py.astype(jnp.int32), th - 2)
         p1 = (iv1 + 1).astype(jnp.float32) - px
         p2 = px - iv1.astype(jnp.float32)
         p3 = (jv1 + 1).astype(jnp.float32) - py
@@ -93,6 +131,17 @@ def make_sharded_warp(mesh, global_hw: Tuple[int, int], halo: int):
         samples = p3 * (p1 * f11 + p2 * f21) + p4 * (p1 * f12 + p2 * f22)
         return samples, bc_x, bc_y
 
+    reach = jnp.float32(halo - 2)
+
+    def warp(fields, u, v):
+        in_reach = ((jnp.max(jnp.abs(u)) <= reach)
+                    & (jnp.max(jnp.abs(v)) <= reach))
+        return lax.cond(
+            in_reach,
+            halo_warp,
+            lambda f, a, b: warp_bilinear_dense(f, a, b, true_hw=(th, tw)),
+            fields, u, v)
+
     _warp_cache[key] = warp
     return warp
 
@@ -100,19 +149,25 @@ def make_sharded_warp(mesh, global_hw: Tuple[int, int], halo: int):
 _sharded_program_cache = {}
 
 
-def sharded_flow_program(cfg: OFConfig, shape, nchan: int, mesh):
+def sharded_flow_program(cfg: OFConfig, shape, nchan: int, mesh,
+                         true_shape=None):
     """One jitted SPMD program for the whole coarse-to-fine solve over the
     mesh (single dispatch; XLA inserts halo collectives for the stencils
-    and the shard_map warp kernels handle the gathers)."""
-    from octane_tpu.flow.variational import _coarse_to_fine, flow_program
+    and the shard_map warp kernels handle the gathers).
+
+    ``shape`` is the (mesh-divisible, possibly padded) array shape;
+    ``true_shape`` the true image dims (None when equal)."""
+    from octane_tpu.flow.variational import _coarse_to_fine
 
     h, w = shape
-    key = (id(mesh), shape, nchan, cfg.alpha, cfg.lambda_, cfg.lambdac,
+    ts = tuple(true_shape) if true_shape is not None else None
+    key = (id(mesh), shape, ts, nchan, cfg.alpha, cfg.lambda_, cfg.lambdac,
            cfg.scale_factor, cfg.kiters, cfg.liters, cfg.cgiters,
            cfg.gnc_steps, cfg.dozim, cfg.solver, cfg.cg_tol, cfg.halo_warp)
     if key in _sharded_program_cache:
         return _sharded_program_cache[key]
 
+    th, tw = (h, w) if ts is None else ts
     ry = mesh.shape["dy"]
     rx = mesh.shape["dx"]
     warp_fns = {}
@@ -120,13 +175,16 @@ def sharded_flow_program(cfg: OFConfig, shape, nchan: int, mesh):
         factor = float(np.float32(cfg.scale_factor) ** (cfg.kiters - k - 1))
         nxx, nyy = zoom_size(w, factor), zoom_size(h, factor)
         if nyy % ry == 0 and nxx % rx == 0 and ry * rx > 1:
-            wf = make_sharded_warp(mesh, (nyy, nxx), cfg.halo_warp)
+            lvl_true = (zoom_size(th, factor), zoom_size(tw, factor))
+            wf = make_sharded_warp(mesh, (nyy, nxx), cfg.halo_warp,
+                                   true_hw=lvl_true)
             if wf is not None:
                 warp_fns[k] = wf
 
     fsh = flow_sharding(mesh)
     program = jax.jit(
-        functools.partial(_coarse_to_fine, cfg=cfg, warp_fns=warp_fns),
+        functools.partial(_coarse_to_fine, cfg=cfg, warp_fns=warp_fns,
+                          true_shape=ts),
         out_shardings=(fsh, fsh),
     )
     _sharded_program_cache[key] = program
@@ -137,18 +195,41 @@ def sharded_variational_flow(geo1, geo2, u0, v0, cfg: OFConfig, mesh):
     """Coarse-to-fine variational flow over a ("dy", "dx") device mesh.
 
     Same level schedule as octane_tpu.flow.variational.variational_flow,
-    compiled as one SPMD program with spatially sharded inputs.
+    compiled as one SPMD program with spatially sharded inputs.  Arbitrary
+    dims are handled by edge-replication padding to a mesh-divisible shape
+    (exact -- see module docstring); the output is cropped back.
     """
     geo1 = jnp.asarray(geo1, jnp.float32)
     geo2 = jnp.asarray(geo2, jnp.float32)
     if geo1.ndim == 2:
         geo1 = geo1[None]
         geo2 = geo2[None]
+    u0 = jnp.asarray(u0, jnp.float32)
+    v0 = jnp.asarray(v0, jnp.float32)
+    h, w = u0.shape
+
+    ry, rx = mesh.shape["dy"], mesh.shape["dx"]
+    pad_shape = padded_global_shape((h, w), cfg, (ry, rx))
+    true_shape = None
+    if pad_shape is not None and pad_shape != (h, w):
+        hp, wp = pad_shape
+        pw = ((0, hp - h), (0, wp - w))
+        geo1 = jnp.pad(geo1, ((0, 0),) + pw, mode="edge")
+        geo2 = jnp.pad(geo2, ((0, 0),) + pw, mode="edge")
+        u0 = jnp.pad(u0, pw, mode="edge")
+        v0 = jnp.pad(v0, pw, mode="edge")
+        true_shape = (h, w)
+
     ish = image_sharding(mesh)
     fsh = flow_sharding(mesh)
     geo1 = jax.device_put(geo1, ish)
     geo2 = jax.device_put(geo2, ish)
-    u0 = jax.device_put(jnp.asarray(u0, jnp.float32), fsh)
-    v0 = jax.device_put(jnp.asarray(v0, jnp.float32), fsh)
-    program = sharded_flow_program(cfg, u0.shape, geo1.shape[0], mesh)
-    return program(geo1, geo2, u0, v0)
+    u0 = jax.device_put(u0, fsh)
+    v0 = jax.device_put(v0, fsh)
+    program = sharded_flow_program(cfg, u0.shape, geo1.shape[0], mesh,
+                                   true_shape=true_shape)
+    u, v = program(geo1, geo2, u0, v0)
+    if true_shape is not None:
+        u = u[:h, :w]
+        v = v[:h, :w]
+    return u, v

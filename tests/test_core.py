@@ -107,3 +107,60 @@ class TestNormalize:
     def test_rescale_endpoints(self):
         out = np.asarray(normalize_image(np.array([3.0, 6.0]), 3.0, 6.0))
         np.testing.assert_allclose(out, [0.0, 255.0])
+
+
+class TestBoundedOps:
+    """Trailing-padding variants must match unpadded ops at true positions."""
+
+    def test_clamp_shift_bounded(self):
+        import jax.numpy as jnp
+        from octane_tpu.core.bc import clamp_shift
+        rng = np.random.default_rng(0)
+        a = rng.normal(0, 1, (7, 9)).astype(np.float32)
+        ap = np.pad(a, ((0, 3), (0, 5)), mode="edge")
+        for off in (-2, -1, 1, 2):
+            for axis, tn in ((-1, 9), (-2, 7)):
+                want = np.asarray(clamp_shift(jnp.asarray(a), off, axis))
+                got = np.asarray(clamp_shift(jnp.asarray(ap), off, axis, tn))
+                np.testing.assert_array_equal(got[:7, :9], want)
+
+    def test_mirror_shift_bounded(self):
+        import jax.numpy as jnp
+        from octane_tpu.core.bc import mirror_shift
+        rng = np.random.default_rng(1)
+        a = rng.normal(0, 1, (6, 11)).astype(np.float32)
+        ap = np.pad(a, ((0, 2), (0, 1)), mode="edge")
+        for off in (-1, 1):
+            for axis, tn in ((-1, 11), (-2, 6)):
+                want = np.asarray(mirror_shift(jnp.asarray(a), off, axis))
+                got = np.asarray(mirror_shift(jnp.asarray(ap), off, axis, tn))
+                np.testing.assert_array_equal(got[:6, :11], want)
+
+    def test_pyramid_downsample_bounded(self):
+        import jax.numpy as jnp
+        from octane_tpu.core.zoom import pyramid_downsample, zoom_size
+        rng = np.random.default_rng(2)
+        h, w = 27, 25
+        a = rng.normal(50, 10, (h, w)).astype(np.float32)
+        factor = 0.5
+        want = np.asarray(pyramid_downsample(jnp.asarray(a), factor))
+        hp, wp = 32, 28
+        ap = np.pad(a, ((0, hp - h), (0, wp - w)), mode="edge")
+        got = np.asarray(pyramid_downsample(jnp.asarray(ap), factor,
+                                            true_in=(h, w)))
+        tny, tnx = zoom_size(h, factor), zoom_size(w, factor)
+        np.testing.assert_array_equal(got[:tny, :tnx], want)
+
+    def test_zoom_in_flow_bounded(self):
+        import jax.numpy as jnp
+        from octane_tpu.core.zoom import zoom_in_flow, zoom_size
+        rng = np.random.default_rng(3)
+        ch, cw = 14, 13          # coarse true dims
+        fh, fw = 27, 25          # fine true dims (zoom_size of 0.5 pyramid)
+        a = rng.normal(0, 2, (ch, cw)).astype(np.float32)
+        want = np.asarray(zoom_in_flow(jnp.asarray(a), (fh, fw), 0.5))
+        ap = np.pad(a, ((0, 2), (0, 1)), mode="edge")      # padded coarse
+        got = np.asarray(zoom_in_flow(jnp.asarray(ap), (32, 28), 0.5,
+                                      true_in=(ch, cw), true_out=(fh, fw)))
+        # the longer (zero-tap) matmul contraction may reassociate: ~1 ulp
+        np.testing.assert_allclose(got[:fh, :fw], want, atol=2e-6, rtol=0)
