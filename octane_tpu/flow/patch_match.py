@@ -1,31 +1,43 @@
 """Patch-match (sum-of-squared-error minimization) optical flow.
 
 TPU-native redesign of oct_patch_match_optical_flow.cc:56-156.  The serial
-spiral search becomes a vectorized argmin over the whole offset square,
-evaluated for every pixel at once; ties resolve to the first offset in the
-reference's spiral visit order (jnp.argmin returns the first minimum, and the
-cost stack is laid out in spiral order).  The quadratic sub-pixel refinement
-(jquad_interp, :35-55) is applied in offset coordinates, which is the same
+spiral search becomes a `lax.fori_loop` over the spiral offset table carrying
+the running (best cost, offset) per pixel -- O(patch) live memory instead of
+materializing a cost volume, so full-disk grids fit in HBM.  Ties resolve to
+the first offset in the reference's spiral visit order (the strict `<` update
+keeps the earliest minimum, same as the reference's serial scan).  The
+quadratic sub-pixel refinement (jquad_interp, :35-55) probes the four offset
+neighbours of the argmin, evaluated fresh (they may fall outside the search
+square, ref :133-134), and is applied in offset coordinates -- the same
 parabola-vertex formula without the large-coordinate cancellation.
 
-Reference quirks replicated:
-* the spiral bounds check `(-SXD2 < n <= SXD2)` is a C parsing bug that is
-  always true, so every visited offset participates (ref :102-104) -- i.e.
-  the effective search set is the full (2*srad+1)^2 square in spiral order;
-* the patch in image 1 is centred at the (truncated) first-guess position
-  `ibc = clamp(trunc(i + u_fg))`, and the returned displacement is measured
-  relative to that centre, NOT added to the first guess (ref :98-99,138);
-* refinement probes at nmin+/-1 may fall outside the search square and are
-  evaluated fresh (ref :133-134).
+Two cost paths:
+
+* **zero first guess** (``u0 is None`` -- the hybrid/init configuration):
+  patch centres are the pixels themselves, so each offset's cost is a sum of
+  *contiguous shifted windows* (dynamic slices of edge-padded images, pure
+  VPU traffic, no gathers).  This is the path that scales to full-disk and
+  the one ``patch_match_flow_sharded`` runs per shard with a halo exchange.
+* **navigated first guess**: patch centres are truncated per-pixel positions
+  `ibc = clamp(trunc(i + u_fg))` (ref :98-99) and every tap is a clamped
+  gather; the returned displacement is measured relative to that centre, NOT
+  added to the first guess (ref :138).
+
+Reference quirks replicated: the spiral bounds check `(-SXD2 < n <= SXD2)` is
+a C parsing bug that is always true, so every visited offset participates
+(ref :102-104) -- the effective search set is the full (2*srad+1)^2 square in
+spiral visit order.
 """
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax import lax
+from jax.sharding import PartitionSpec as P
 
 
 def spiral_offsets(srad: int) -> np.ndarray:
@@ -42,105 +54,181 @@ def spiral_offsets(srad: int) -> np.ndarray:
     return np.asarray(out, np.int32)
 
 
-def _clamp(a, n):
-    return jnp.clip(a, 0, n - 1)
+def _cost_gather(geo1, geo2, ibc, jbc, n, m, rad, h, w):
+    """SSD over the (2*rad+1)^2 patch with per-tap clamped indices
+    (jsose, ref :12-33).  ``n``/``m`` may be scalars or (H, W) arrays."""
+    acc = None
+    for k in range(-rad, rad + 1):
+        for l in range(-rad, rad + 1):
+            x1 = jnp.clip(ibc + k, 0, w - 1)
+            y1 = jnp.clip(jbc + l, 0, h - 1)
+            x2 = jnp.clip(ibc + (k + n), 0, w - 1)
+            y2 = jnp.clip(jbc + (l + m), 0, h - 1)
+            d = geo2[y2, x2] - geo1[y1, x1]
+            acc = d * d if acc is None else acc + d * d
+    return acc
 
 
-@jax.jit
-def _gather(img, ix, iy):
-    return img[iy, ix]
+def _refine(center, c0, c_plus, c_minus):
+    """Parabola-vertex sub-pixel refinement (jquad_interp, ref :35-55)."""
+    denom = 2.0 * (c_plus + c_minus - 2.0 * c0)
+    vertex = center.astype(jnp.float32) + jnp.where(
+        denom == 0.0, 0.0, (c_minus - c_plus) / jnp.where(denom == 0.0, 1.0, denom)
+    )
+    ok = (c0 < c_plus) & (c0 < c_minus)
+    return jnp.where(ok, vertex, center.astype(jnp.float32))
+
+
+def _spiral_argmin(cost_fn, srad: int):
+    """fori_loop over the spiral offset table; first strict minimum wins."""
+    order = spiral_offsets(srad)
+    n_of = jnp.asarray(order[:, 0])
+    m_of = jnp.asarray(order[:, 1])
+
+    def body(i, st):
+        best, nmin, mmin = st
+        n, m = n_of[i], m_of[i]
+        c = cost_fn(n, m)
+        upd = c < best
+        return (jnp.where(upd, c, best),
+                jnp.where(upd, n, nmin).astype(jnp.int32),
+                jnp.where(upd, m, mmin).astype(jnp.int32))
+
+    c00 = cost_fn(n_of[0], m_of[0])                      # spiral starts (0,0)
+    # zeros_like keeps the device-varying axes of the cost (shard_map vma)
+    zero_i = jnp.zeros_like(c00, dtype=jnp.int32)
+    return lax.fori_loop(1, len(order), body, (c00, zero_i, zero_i))
+
+
+def _finish(nmin, mmin, probe_cost):
+    # Re-evaluate the winning cost through the same code path as the probes:
+    # the fori_loop's accumulation may be contracted (FMA) differently by
+    # XLA, and a 1-ulp drift would flip the strict-inequality gate exactly
+    # at the clamped-edge ties where c0 == c_minus in the reference.
+    c0 = probe_cost(nmin, mmin)
+    su1 = probe_cost(nmin + 1, mmin)
+    su2 = probe_cost(nmin - 1, mmin)
+    sv1 = probe_cost(nmin, mmin + 1)
+    sv2 = probe_cost(nmin, mmin - 1)
+    u = _refine(nmin, c0, su1, su2)
+    v = _refine(mmin, c0, sv1, sv2)
+    return u, v
+
+
+def _patch_match_local(g1, g2, rad, srad, h, w, gy0=0, gx0=0, halo=0):
+    """Zero-guess patch match on one (local) block.
+
+    ``g1``/``g2`` are the local blocks; with ``halo`` > 0 they must already
+    be halo-padded by ``rad`` and ``rad + srad + 1`` respectively (global
+    edge replication reproduces the reference's clamped reads exactly).
+    ``(gy0, gx0)``/(h, w) are the block's global origin / the global dims
+    (used only for the clamped probe gathers).
+    """
+    smax = rad + srad + 1
+    if halo == 0:
+        g1p = jnp.pad(g1, rad, mode="edge")
+        g2p = jnp.pad(g2, smax, mode="edge")
+    else:
+        g1p, g2p = g1, g2
+    hl = g1p.shape[0] - 2 * rad
+    wl = g1p.shape[1] - 2 * rad
+
+    def cost_slices(n, m):
+        acc = None
+        for k in range(-rad, rad + 1):
+            for l in range(-rad, rad + 1):
+                t1 = g1p[rad + l:rad + l + hl, rad + k:rad + k + wl]
+                t2 = lax.dynamic_slice(
+                    g2p, (smax + l + m, smax + k + n), (hl, wl))
+                d = t2 - t1
+                acc = d * d if acc is None else acc + d * d
+        return acc
+
+    _, nmin, mmin = _spiral_argmin(cost_slices, srad)
+
+    # probes: per-pixel dynamic offsets -> clamped gathers on the local
+    # padded blocks (indices stay inside the halo: |probe| <= srad+1)
+    ii = gx0 + jnp.arange(wl, dtype=jnp.int32)[None, :]
+    jj = gy0 + jnp.arange(hl, dtype=jnp.int32)[:, None]
+
+    def probe_cost(n, m):
+        acc = None
+        for k in range(-rad, rad + 1):
+            for l in range(-rad, rad + 1):
+                x1 = jnp.clip(ii + k, 0, w - 1) - gx0 + rad
+                y1 = jnp.clip(jj + l, 0, h - 1) - gy0 + rad
+                x2 = jnp.clip(ii + (k + n), 0, w - 1) - gx0 + smax
+                y2 = jnp.clip(jj + (l + m), 0, h - 1) - gy0 + smax
+                d = g2p[y2, x2] - g1p[y1, x1]
+                acc = d * d if acc is None else acc + d * d
+        return acc
+
+    return _finish(nmin, mmin, probe_cost)
 
 
 def patch_match_flow(
     geo1: jnp.ndarray,
     geo2: jnp.ndarray,
-    u0: jnp.ndarray,
-    v0: jnp.ndarray,
+    u0: Optional[jnp.ndarray] = None,
+    v0: Optional[jnp.ndarray] = None,
     rad: int = 2,
     srad: int = 2,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Dense SSD minimization; returns (u, v) pixel displacements.
 
-    geo1/geo2: (H, W) float32; u0/v0: first-guess displacements.
+    geo1/geo2: (H, W) float32.  ``u0``/``v0`` optionally give first-guess
+    displacements; pass None (not zeros) to take the slice-based fast path.
     """
     geo1 = jnp.asarray(geo1, jnp.float32)
     geo2 = jnp.asarray(geo2, jnp.float32)
     h, w = geo1.shape
+
+    if u0 is None:
+        return _patch_match_local(geo1, geo2, rad, srad, h, w)
+
     ii = jnp.arange(w, dtype=jnp.float32)[None, :]
     jj = jnp.arange(h, dtype=jnp.float32)[:, None]
-    ibc = _clamp(jnp.trunc(ii + u0).astype(jnp.int32), w)
-    jbc = _clamp(jnp.trunc(jj + v0).astype(jnp.int32), h)
+    ibc = jnp.clip(jnp.trunc(ii + u0).astype(jnp.int32), 0, w - 1)
+    jbc = jnp.clip(jnp.trunc(jj + v0).astype(jnp.int32), 0, h - 1)
     ibc = jnp.broadcast_to(ibc, (h, w))
     jbc = jnp.broadcast_to(jbc, (h, w))
 
-    # Shifted gathers of both images around the patch centres.  geo2 shifts
-    # span the search square plus the patch plus the +/-1 refinement probes.
+    def cost(n, m):
+        return _cost_gather(geo1, geo2, ibc, jbc, n, m, rad, h, w)
+
+    _, nmin, mmin = _spiral_argmin(cost, srad)
+    return _finish(nmin, mmin, cost)
+
+
+def patch_match_flow_sharded(geo1, geo2, mesh, rad: int = 2, srad: int = 2):
+    """Zero-first-guess patch match over a ("dy", "dx") device mesh.
+
+    Each shard exchanges a (rad)/(rad+srad+1) halo via ppermute (edge
+    replication at the global boundary == the reference's clamped reads)
+    and runs the same spiral loop locally; results are bit-identical to the
+    single-device fast path.
+    """
+    from octane_tpu.parallel.halo import halo_pad2d
+
+    geo1 = jnp.asarray(geo1, jnp.float32)
+    geo2 = jnp.asarray(geo2, jnp.float32)
+    h, w = geo1.shape
     smax = rad + srad + 1
+    ry, rx = mesh.shape["dy"], mesh.shape["dx"]
+    hl, wl = h // ry, w // rx
 
-    def shifted(img, cx, cy, sx, sy):
-        return _gather(img, _clamp(cx + sx, w), _clamp(cy + sy, h))
+    import functools
 
-    g1_tap = {
-        (k, l): shifted(geo1, ibc, jbc, k, l)
-        for k in range(-rad, rad + 1)
-        for l in range(-rad, rad + 1)
-    }
-    g2_shift = {
-        (sx, sy): shifted(geo2, ibc, jbc, sx, sy)
-        for sx in range(-smax, smax + 1)
-        for sy in range(-smax, smax + 1)
-    }
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P("dy", "dx"), P("dy", "dx")),
+        out_specs=(P("dy", "dx"), P("dy", "dx")))
+    def run(g1, g2):
+        gy0 = lax.axis_index("dy") * hl
+        gx0 = lax.axis_index("dx") * wl
+        g1p = halo_pad2d(g1, rad)
+        g2p = halo_pad2d(g2, smax)
+        return _patch_match_local(g1p, g2p, rad, srad, h, w,
+                                  gy0=gy0, gx0=gx0, halo=1)
 
-    def sose(n, m):
-        acc = None
-        for k in range(-rad, rad + 1):
-            for l in range(-rad, rad + 1):
-                d = g2_shift[(k + n, l + m)] - g1_tap[(k, l)]
-                acc = d * d if acc is None else acc + d * d
-        return acc
-
-    # Full cost table over the extended square (for refinement lookups).
-    ext = srad + 1
-    cost = {
-        (n, m): sose(n, m)
-        for n in range(-ext, ext + 1)
-        for m in range(-ext, ext + 1)
-    }
-
-    order = spiral_offsets(srad)
-    stack = jnp.stack([cost[(int(n), int(m))] for n, m in order], axis=0)
-    best = jnp.argmin(stack, axis=0)                      # first min = spiral order
-    n_of = jnp.asarray(order[:, 0])
-    m_of = jnp.asarray(order[:, 1])
-    nmin = n_of[best].astype(jnp.int32)
-    mmin = m_of[best].astype(jnp.int32)
-    summin = jnp.min(stack, axis=0)
-
-    # Gather neighbour costs from the extended table.
-    side = 2 * ext + 1
-    table = jnp.stack(
-        [cost[(n, m)] for n in range(-ext, ext + 1) for m in range(-ext, ext + 1)],
-        axis=0,
-    )  # index (n+ext)*side + (m+ext)
-    hw = jnp.arange(h * w)
-    tbl = table.reshape(side * side, -1)
-
-    def at(n, m):
-        idx = (n + ext) * side + (m + ext)
-        return tbl[idx.reshape(-1), hw].reshape(h, w)
-
-    def refine(center, c0, c_plus, c_minus):
-        denom = 2.0 * (c_plus + c_minus - 2.0 * c0)
-        vertex = center.astype(jnp.float32) + jnp.where(
-            denom == 0.0, 0.0, (c_minus - c_plus) / jnp.where(denom == 0.0, 1.0, denom)
-        )
-        ok = (c0 < c_plus) & (c0 < c_minus)
-        return jnp.where(ok, vertex, center.astype(jnp.float32))
-
-    su1 = at(nmin + 1, mmin)
-    su2 = at(nmin - 1, mmin)
-    sv1 = at(nmin, mmin + 1)
-    sv2 = at(nmin, mmin - 1)
-    u = refine(nmin, summin, su1, su2)
-    v = refine(mmin, summin, sv1, sv2)
-    return u, v
+    return run(geo1, geo2)

@@ -42,6 +42,37 @@ def test_matches_oracle_with_first_guess():
     np.testing.assert_allclose(np.asarray(got_v), want_v, atol=2e-3)
 
 
+def test_fast_path_matches_gather_path():
+    """u0=None (slice-based) must equal u0=zeros (gather-based) exactly."""
+    rng = np.random.default_rng(11)
+    h, w = 18, 22
+    im1 = rng.normal(100, 25, (h, w)).astype(np.float32)
+    im2 = np.roll(im1, (1, -1), axis=(0, 1)) + rng.normal(0, 0.4, (h, w)).astype(np.float32)
+    z = np.zeros((h, w), np.float32)
+    want_u, want_v = patch_match_flow(im1, im2, z, z, rad=2, srad=2)
+    got_u, got_v = patch_match_flow(im1, im2, None, None, rad=2, srad=2)
+    np.testing.assert_array_equal(np.asarray(got_u), np.asarray(want_u))
+    np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
+
+
+def test_sharded_matches_single_device():
+    # rad/srad 1 keeps the shard_map CPU compile fast; the halo/probe logic
+    # exercised is identical to the production rad=srad=2
+    import jax
+    from octane_tpu.flow.patch_match import patch_match_flow_sharded
+    from octane_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(13)
+    h, w = 32, 64
+    im1 = rng.normal(100, 25, (h, w)).astype(np.float32)
+    im2 = np.roll(im1, (0, 1), axis=(0, 1)) + rng.normal(0, 0.4, (h, w)).astype(np.float32)
+    want_u, want_v = patch_match_flow(im1, im2, None, None, rad=1, srad=1)
+    mesh = make_mesh((2, 4))
+    got_u, got_v = patch_match_flow_sharded(im1, im2, mesh, rad=1, srad=1)
+    np.testing.assert_allclose(np.asarray(got_u), np.asarray(want_u), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_v), np.asarray(want_v), atol=1e-5)
+
+
 def test_integer_translation_recovered():
     rng = np.random.default_rng(9)
     h = w = 32
