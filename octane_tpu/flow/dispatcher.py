@@ -20,16 +20,40 @@ from octane_tpu.nav.winds import pix2uv, pix2uv_ms, uv2pix
 from octane_tpu.post.srsal import srsal_smooth
 
 
-def _variational(data1, data2, u0, v0, cfg: OFConfig):
-    """Dense solve, spatially sharded when cfg.mesh_shape requests it."""
+def active_mesh(cfg: OFConfig):
+    """The (dy, dx) device mesh when cfg.mesh_shape requests one and enough
+    devices exist; None for the single-device path."""
     import jax
     ry, rx = cfg.mesh_shape
     if ry * rx > 1 and len(jax.devices()) >= ry * rx:
         from octane_tpu.parallel.mesh import make_mesh
+        return make_mesh((ry, rx))
+    return None
+
+
+def _variational(data1, data2, u0, v0, cfg: OFConfig, mesh=None):
+    """Dense solve, spatially sharded when cfg.mesh_shape requests it."""
+    if mesh is not None:
         from octane_tpu.parallel.sharded import sharded_variational_flow
-        mesh = make_mesh((ry, rx))
         return sharded_variational_flow(data1, data2, u0, v0, cfg, mesh)
     return variational_flow(data1, data2, u0, v0, cfg)
+
+
+def _check_warp_reach(u, v, shape):
+    """Post-hoc audit of the Pallas warp windows on the FINAL flow: if the
+    within-block spread of the final displacement exceeds the window slack,
+    intermediate warps may have clamped samples -- surface it (the reference
+    has no such bound: oct_variational_optical_flow.cu:732-745)."""
+    import warnings
+    import jax
+    if jax.default_backend() == "cpu":
+        return
+    from octane_tpu.ops.pallas.warp import row_spread_within_reach
+    if not row_spread_within_reach(u, v, shape):
+        warnings.warn(
+            "flow spread exceeds the Pallas warp window slack; re-run with "
+            "use_pallas=False (or a larger max_disp_v) to rule out clamped "
+            "samples", RuntimeWarning)
 
 
 def compute_flow(scene1: Scene, scene2: Scene, cfg: OFConfig,
@@ -46,6 +70,7 @@ def compute_flow(scene1: Scene, scene2: Scene, cfg: OFConfig,
     dt = scene2.t - scene1.t
 
     # --- first guess (ref :37-53) -------------------------------------------
+    have_guess = True
     if first_guess is not None:
         u0 = jnp.asarray(first_guess[0], jnp.float32)
         v0 = jnp.asarray(first_guess[1], jnp.float32)
@@ -55,21 +80,34 @@ def compute_flow(scene1: Scene, scene2: Scene, cfg: OFConfig,
             scene1.x, scene1.y, nav, dt, grid=cfg.grid,
         )
     else:
+        have_guess = False
         u0 = jnp.zeros((h, w), jnp.float32)
         v0 = jnp.zeros((h, w), jnp.float32)
 
     # --- flow engine (ref :54-68; "hybrid" = BASELINE config 4:
     # patch-match initialization + variational refinement) -------------------
+    mesh = active_mesh(cfg)
     if cfg.algorithm in ("patch_match", "hybrid"):
         if scene1.nchannels > 1 and cfg.algorithm == "patch_match":
             raise ValueError("patch match supports single-channel input only")
-        u, v = patch_match_flow(
-            scene1.data[0], scene2.data[0], u0, v0, cfg.rad, cfg.srad)
+        if not have_guess and mesh is not None:
+            from octane_tpu.flow.patch_match import patch_match_flow_sharded
+            u, v = patch_match_flow_sharded(
+                scene1.data[0], scene2.data[0], mesh, cfg.rad, cfg.srad)
+        elif not have_guess:
+            # slice-based fast path (no per-pixel gathers)
+            u, v = patch_match_flow(
+                scene1.data[0], scene2.data[0], None, None, cfg.rad, cfg.srad)
+        else:
+            u, v = patch_match_flow(
+                scene1.data[0], scene2.data[0], u0, v0, cfg.rad, cfg.srad)
         if cfg.algorithm == "hybrid":
-            u, v = _variational(scene1.data, scene2.data, u, v, cfg)
+            u, v = _variational(scene1.data, scene2.data, u, v, cfg, mesh)
     else:
-        u, v = _variational(scene1.data, scene2.data, u0, v0, cfg)
+        u, v = _variational(scene1.data, scene2.data, u0, v0, cfg, mesh)
 
+    if cfg.algorithm in ("variational", "hybrid") and cfg.use_pallas:
+        _check_warp_reach(u, v, (h, w))
     scene1.u_pix = np.asarray(u)
     scene1.v_pix = np.asarray(v)
 
@@ -81,10 +119,15 @@ def compute_flow(scene1: Scene, scene2: Scene, cfg: OFConfig,
         else:
             scene1.ctp = cthv.astype(np.int16)
 
-    # --- navigate to winds (ref :91) ----------------------------------------
+    # --- navigate to winds (ref :91), mesh-sharded when one is active -------
     nav.g2x_offset = scene2.nav.x_offset if cfg.grid == "goes" else nav.x_offset
     nav.g2y_offset = scene2.nav.y_offset if cfg.grid == "goes" else nav.y_offset
-    uw, vw, ur, vr = pix2uv(u, v, nav, dt, grid=cfg.grid, pixuv=cfg.pixuv)
+    if mesh is not None:
+        from octane_tpu.parallel.post import sharded_pix2uv, sharded_pix2uv_ms
+        uw, vw, ur, vr = sharded_pix2uv(u, v, nav, dt, mesh,
+                                        grid=cfg.grid, pixuv=cfg.pixuv)
+    else:
+        uw, vw, ur, vr = pix2uv(u, v, nav, dt, grid=cfg.grid, pixuv=cfg.pixuv)
     scene1.u_wind = np.asarray(uw)
     scene1.v_wind = np.asarray(vw)
     scene1.u_raw = np.asarray(ur)
@@ -92,14 +135,21 @@ def compute_flow(scene1: Scene, scene2: Scene, cfg: OFConfig,
     if cfg.grid != "goes" and not cfg.pixuv:
         # flat-grid products keep full-precision winds (oct_polarwrite writes
         # U/V as doubles, oct_filewrite.cc:401-402)
-        ums, vms = pix2uv_ms(u, v, nav, dt, grid=cfg.grid)
+        if mesh is not None:
+            ums, vms = sharded_pix2uv_ms(u, v, nav, dt, mesh, grid=cfg.grid)
+        else:
+            ums, vms = pix2uv_ms(u, v, nav, dt, grid=cfg.grid)
         scene1.u_ms = np.asarray(ums, np.float64)
         scene1.v_ms = np.asarray(vms, np.float64)
     scene1.dt = float(dt)
 
     # --- optional anisotropic smoothing (ref :100-105) ----------------------
     if cfg.do_srsal and scene1.cth is not None:
-        us, vs = srsal_smooth(u, v, scene1.cth)
+        if mesh is not None:
+            from octane_tpu.parallel.post import sharded_srsal
+            us, vs = sharded_srsal(u, v, jnp.asarray(scene1.cth), mesh)
+        else:
+            us, vs = srsal_smooth(u, v, scene1.cth)
         scene1.u_pix = np.asarray(us)
         scene1.v_pix = np.asarray(vs)
 

@@ -70,24 +70,39 @@ def interpolate_sequence(scene1: Scene, scene2: Scene, cfg: OFConfig,
                          interp_dir: str) -> List[str]:
     """Write interpolated frames between the pair (main.cc:450-480 loop:
     frames every ``deltat`` seconds while frt < 1)."""
+    from octane_tpu.flow.dispatcher import active_mesh
+
     os.makedirs(interp_dir, exist_ok=True)
     written = []
     step = cfg.deltat / scene1.dt
     frt = step
     idx = 1
+    mesh = active_mesh(cfg)
+    if mesh is not None:
+        from octane_tpu.parallel.post import sharded_interpolate_frame
+        # static splat halo from the actual flow, rounded up to bound the
+        # number of distinct compiled programs across a sequence
+        md = float(max(np.abs(scene1.u_pix).max(), np.abs(scene1.v_pix).max()))
+        max_disp = max(8, int(-(-md // 8) * 8))
     while frt < 1.0 and (1.0 - frt) >= step / 2.0:
-        img, occ = interpolate_frame(
-            jnp.asarray(scene1.u_pix), jnp.asarray(scene1.v_pix),
-            jnp.asarray(scene1.data), jnp.asarray(scene2.data), frt)
+        if mesh is not None:
+            img, occ = sharded_interpolate_frame(
+                scene1.u_pix, scene1.v_pix, scene1.data, scene2.data,
+                frt, mesh, max_disp=max_disp)
+        else:
+            img, occ = interpolate_frame(
+                jnp.asarray(scene1.u_pix), jnp.asarray(scene1.v_pix),
+                jnp.asarray(scene1.data), jnp.asarray(scene2.data), frt)
         img = np.asarray(img)
         # rescale normalized 0-255 image back to radiance counts
-        # (oct_interp.cc:424-457)
+        # (oct_interp.cc:424-457) -- multithreaded native hot loop
+        from octane_tpu.io.native import requantize
         counts = np.empty_like(scene1.raw_counts)
         for c in range(img.shape[0]):
             vmin, vmax = scene1.norm_ranges[c]
-            radiance = img[c] / 255.0 * (vmax - vmin) + vmin
-            counts[c] = ((radiance - scene1.nav.rad_offset[c])
-                         / scene1.nav.rad_scale[c]).astype(np.int16)
+            counts[c] = requantize(img[c], vmin, vmax,
+                                   scene1.nav.rad_scale[c],
+                                   scene1.nav.rad_offset[c])
         scene1.occlusion = np.asarray(occ)
         scene1.frdt = float(frt)
         scene1.t_interp = scene1.t + scene1.dt * frt

@@ -6,8 +6,13 @@ kernel exp(-dCTH^2 / (2*20^2)), applied to (u, v) with the reference's mixed
 reflect boundary (left: reflect without edge repeat, right: symmetric with
 edge repeat -- oct_bc_cuda, :15-28).
 
-The 1369-tap window runs as a `lax.fori_loop` over taps of dynamic slices of
-the padded fields.
+Two implementations with identical tap weights and boundary handling:
+
+* the XLA path (this module): a `lax.fori_loop` over the 1369 taps of
+  dynamic slices of the padded fields -- the portable/CPU oracle;
+* the Pallas path (octane_tpu.ops.pallas.bilateral): VMEM-tiled, selected
+  automatically on TPU backends (matching to float round-off, ~1e-6
+  relative -- the accumulation order differs).
 """
 
 from __future__ import annotations
@@ -31,24 +36,9 @@ def _reflect_pad(a: jnp.ndarray, p: int) -> jnp.ndarray:
     return jnp.concatenate([left, a, right], axis=1)
 
 
-def srsal_smooth(
-    u: jnp.ndarray, v: jnp.ndarray, cth: jnp.ndarray,
-    filtsigma: float = 9.0, sigpix: float = 20.0,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Bilateral smooth of (u, v) guided by ``cth``; returns (u_s, v_s).
-
-    Defaults match oct_srsal_cu (oct_srsal_cuda.cu:73-82): filtsize =
-    2*filtsigma = 18, range sigma 20 (CTH units).
-    """
-    filtsize = int(2 * filtsigma)
-    p = filtsize
-    gk = jnp.asarray(gaussian_kernel_1d(filtsigma, filtsize))     # 2p+1 taps
-    sigpix2 = -1.0 / (2.0 * sigpix * sigpix)
-    h, w = u.shape
-    up = _reflect_pad(jnp.asarray(u, jnp.float32), p)
-    vp = _reflect_pad(jnp.asarray(v, jnp.float32), p)
-    cp = _reflect_pad(jnp.asarray(cth, jnp.float32), p)
-    c0 = jnp.asarray(cth, jnp.float32)
+def _tap_loop(up, vp, cp, c0, gk, sigpix2, h, w):
+    """The 1369-tap accumulation over pre-padded (+p each side) fields."""
+    p = (up.shape[0] - h) // 2
     ntap = (2 * p + 1) ** 2
 
     def body(t, acc):
@@ -63,6 +53,32 @@ def srsal_smooth(
         a1 = gk[kc] * gk[lc] * jnp.exp(dmc * dmc * sigpix2)
         return au + un * a1, av + vn * a1, a2 + a1
 
-    zero = jnp.zeros((h, w), jnp.float32)
+    # zeros_like keeps the device-varying axes of c0 (shard_map vma)
+    zero = jnp.zeros_like(c0)
     au, av, a2 = jax.lax.fori_loop(0, ntap, body, (zero, zero, zero))
     return au / a2, av / a2
+
+
+def srsal_smooth(
+    u: jnp.ndarray, v: jnp.ndarray, cth: jnp.ndarray,
+    filtsigma: float = 9.0, sigpix: float = 20.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Bilateral smooth of (u, v) guided by ``cth``; returns (u_s, v_s).
+
+    Defaults match oct_srsal_cu (oct_srsal_cuda.cu:73-82): filtsize =
+    2*filtsigma = 18, range sigma 20 (CTH units).
+    """
+    from octane_tpu.ops.pallas.bilateral import make_pallas_bilateral
+
+    kern = make_pallas_bilateral(u.shape, filtsigma, sigpix)
+    if kern is not None:
+        return kern(u, v, cth)
+    p = int(2 * filtsigma)
+    gk = jnp.asarray(gaussian_kernel_1d(filtsigma, p))            # 2p+1 taps
+    sigpix2 = -1.0 / (2.0 * sigpix * sigpix)
+    h, w = u.shape
+    up = _reflect_pad(jnp.asarray(u, jnp.float32), p)
+    vp = _reflect_pad(jnp.asarray(v, jnp.float32), p)
+    cp = _reflect_pad(jnp.asarray(cth, jnp.float32), p)
+    c0 = jnp.asarray(cth, jnp.float32)
+    return _tap_loop(up, vp, cp, c0, gk, sigpix2, h, w)
