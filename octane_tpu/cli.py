@@ -62,6 +62,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-normmin3", type=float, default=None)
     p.add_argument("-mesh", default=None,
                    help="spatial device mesh ROWSxCOLS (TPU-only, e.g. 2x4)")
+    p.add_argument("-coordinator", default=None,
+                   help="multi-host coordinator address host:port")
+    p.add_argument("-nprocs", type=int, default=None,
+                   help="multi-host process count")
+    p.add_argument("-procid", type=int, default=None,
+                   help="this process's id in [0, nprocs)")
     return p
 
 
@@ -96,6 +102,16 @@ def args_to_config(a: argparse.Namespace) -> OFConfig:
 def main(argv=None) -> int:
     a = build_parser().parse_args(argv)
     cfg = args_to_config(a)
+    if a.nprocs:
+        # -nprocs 1 runs the same distributed code path single-process
+        # (useful for bit-parity tests of the multi-process mechanics)
+        from octane_tpu.parallel.distributed import (
+            initialize_multihost, run_pipeline_distributed)
+        initialize_multihost(a.coordinator, a.nprocs, a.procid)
+        written = run_pipeline_distributed(a.i1, a.i2, cfg, outdir=a.outdir)
+        for w in written:
+            print(f"{w} written")
+        return 0
     ch2 = (a.ic21, a.ic22) if a.ic21 and a.ic22 else None
     ch3 = (a.ic31, a.ic32) if a.ic31 and a.ic32 else None
     written = run_pipeline(

@@ -62,23 +62,37 @@ def read_scene(
     donav: bool = True,
     channel: int = 1,
     scene: Optional[Scene] = None,
+    row_range: Optional[tuple] = None,
 ) -> Scene:
     """Read one GOES-R L1b file into a Scene (oct_goesread, oct_fileread.cc:43-419).
 
     ``channel`` 1 reads the primary grid and navigation; channels 2/3 read
     auxiliary bands and regrid them onto the channel-1 grid.
+
+    ``row_range`` (r0, r1) restricts ingest to a row block (hyperslab read +
+    block nav/cal) for host-sharded multi-process ingest; the returned
+    Scene's arrays cover only those rows while nav keeps the global dims.
     """
     _require_h5py()
     if cfg.grid != "goes":
+        if row_range is not None:
+            raise NotImplementedError("host-sharded ingest is GOES-only")
         return _read_flat_grid(path, cfg, donav, scene)
 
     with h5py.File(path, "r") as f:
         rad = f["Rad"]
         x = np.asarray(f["x"][()], np.int16)
-        y = np.asarray(f["y"][()], np.int16)
+        y_full = np.asarray(f["y"][()], np.int16)
         band = int(_scalar(f["band_id"]))
-        counts = np.asarray(rad[()], np.int16)
-        h, w = counts.shape
+        h_full, w_full = rad.shape
+        if row_range is not None:
+            r0, r1 = row_range
+            counts = np.asarray(rad[r0:r1, :], np.int16)
+            y = y_full[r0:r1]
+        else:
+            counts = np.asarray(rad[()], np.int16)
+            y = y_full
+        h, w = h_full, w_full
 
         ci = channel - 1
         if scene is None:
@@ -170,8 +184,9 @@ def read_scene(
         # pseudo-counts on the channel-1 grid (the reference stores original-
         # resolution counts against channel-1 dims, which cannot round-trip;
         # we invert the normalization instead)
-        radiance = regridded / 255.0 * (norm_used[1] - norm_used[0]) + norm_used[0]
-        cnt = ((radiance - nav.rad_offset[ci]) / nav.rad_scale[ci]).astype(np.int16)
+        from octane_tpu.io.native import requantize
+        cnt = requantize(regridded, norm_used[0], norm_used[1],
+                         nav.rad_scale[ci], nav.rad_offset[ci])
         scene.raw_counts = np.concatenate([scene.raw_counts, cnt[None]], axis=0)
     return scene
 

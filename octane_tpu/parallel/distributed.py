@@ -89,3 +89,97 @@ def distributed_variational_flow(geo1_local, geo2_local, global_shape,
     u0 = global_array_from_blocks(zeros, tuple(global_shape), mesh)
     v0 = global_array_from_blocks(zeros, tuple(global_shape), mesh)
     return sharded_variational_flow(geo1, geo2, u0, v0, cfg, mesh)
+
+
+def distributed_mesh(cfg: OFConfig):
+    """(process_count * ry_local, rx) mesh: each process owns whole mesh
+    rows, so row-block ingest matches the addressable shards and halo
+    traffic crosses DCN only at host-boundary rows."""
+    p = jax.process_count()
+    n_local = jax.local_device_count()
+    ry, rx = cfg.mesh_shape
+    if ry * rx != p * n_local:
+        # default: all local devices spread along columns
+        return make_mesh((p, n_local))
+    if ry % p != 0:
+        raise ValueError(
+            f"mesh rows {ry} must be a multiple of process count {p}")
+    return make_mesh((ry, rx))
+
+
+def run_pipeline_distributed(file1: str, file2: str, cfg: OFConfig,
+                             outdir: str = "./") -> list:
+    """Multi-process pipeline: host-sharded ingest -> SPMD flow + winds ->
+    process-0 product write.
+
+    Each process hyperslab-reads its row block and runs nav/cal on it; the
+    global device arrays are assembled from the blocks; the solve and
+    pix2uv run as the same SPMD programs as single-host; the final product
+    fields are allgathered over DCN (bounded: int16/float32 product planes)
+    and process 0 writes the netCDF.  GOES grids only; CTH/first-guess/
+    interp extras stay single-host for now.
+    """
+    import os
+    from jax.experimental import multihost_utils
+    from octane_tpu.io.readers import read_scene
+    from octane_tpu.io.writers import write_product
+    from octane_tpu.parallel.post import sharded_pix2uv
+
+    if cfg.grid != "goes":
+        raise NotImplementedError("distributed pipeline is GOES-only")
+    mesh = distributed_mesh(cfg)
+
+    # global grid dims from the file header (cheap, every process)
+    if h5py is None:
+        raise RuntimeError("h5py is required for file ingest")
+    with h5py.File(file1, "r") as f:
+        h, w = f["Rad"].shape
+        x_full = np.asarray(f["x"][()], np.int16)
+        y_full = np.asarray(f["y"][()], np.int16)
+    r0, r1 = host_row_block(h)
+
+    scene1 = read_scene(file1, cfg, donav=True, channel=1, row_range=(r0, r1))
+    scene2 = read_scene(file2, cfg, donav=False, channel=1, row_range=(r0, r1))
+    scene1.nav.g2x_offset = scene2.nav.x_offset
+    scene1.nav.g2y_offset = scene2.nav.y_offset
+    cfg = cfg.replace(nchannels=scene1.nchannels)
+    dt = scene2.t - scene1.t
+
+    u, v = distributed_variational_flow(
+        scene1.data, scene2.data, (h, w), cfg, mesh)
+    uw, vw, ur, vr = sharded_pix2uv(u, v, scene1.nav, dt, mesh,
+                                    grid=cfg.grid, pixuv=cfg.pixuv)
+
+    # gather the product planes to every host (DCN allgather), write on 0
+    def gather(a):
+        return np.asarray(multihost_utils.process_allgather(
+            a, tiled=True))
+
+    scene1.u_pix = gather(u)
+    scene1.v_pix = gather(v)
+    scene1.u_wind = gather(uw)
+    scene1.v_wind = gather(vw)
+    scene1.u_raw = gather(ur)
+    scene1.v_raw = gather(vr)
+    scene1.raw_counts = gather_counts(scene1.raw_counts)
+    scene1.x = x_full
+    scene1.y = y_full
+    scene1.dt = float(dt)
+
+    written = []
+    if jax.process_index() == 0:
+        os.makedirs(outdir, exist_ok=True)
+        outname = os.path.join(outdir, "outfile.nc")
+        written.append(write_product(outname, scene1, cfg, interp=False))
+    multihost_utils.sync_global_devices("octane_write_done")
+    return written
+
+
+def gather_counts(counts_local: np.ndarray) -> np.ndarray:
+    """Allgather per-process (C, rows_local, W) raw-count blocks along rows."""
+    from jax.experimental import multihost_utils
+    out = []
+    for c in range(counts_local.shape[0]):
+        out.append(np.asarray(multihost_utils.process_allgather(
+            counts_local[c], tiled=True)))
+    return np.stack(out, axis=0)

@@ -22,10 +22,13 @@ def make_goes_file(path, counts, band=13, t=650000000.0,
     """Write a GOES-R L1b-like HDF5/netCDF4 file with the variables and
     attributes the reader ingests (oct_fileread.cc:99-263)."""
     h, w = counts.shape
+    # half-pixel offset so no scan coordinate is EXACTLY zero: real GOES
+    # offsets never are, and the reference's `sz == 0` off-earth guard
+    # (oct_pix2uv_cuda.cu:119) is FMA-contraction-sensitive at exact zeros
     if x_offset is None:
-        x_offset = -x_scale * w / 2
+        x_offset = -x_scale * (w / 2 - 0.5)
     if y_offset is None:
-        y_offset = -y_scale * h / 2
+        y_offset = -y_scale * (h / 2 - 0.5)
     with h5py.File(path, "w") as f:
         d = f.create_dataset("Rad", data=np.asarray(counts, np.int16))
         d.attrs["scale_factor"] = np.float32(rad_scale)

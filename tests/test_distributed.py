@@ -1,0 +1,113 @@
+"""Multi-host (2-process CPU cluster) end-to-end parity.
+
+Spawns two worker processes that form a jax.distributed cluster over
+localhost, run the distributed pipeline (host-sharded hyperslab ingest ->
+SPMD flow over a (2, 4) global mesh -> process-0 write) and checks the
+product against a single-process run of the same pair.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import h5py
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _make_pair(tmp_path):
+    from tests.synth import make_goes_file
+
+    h, w = 96, 128
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+
+    def scene(s):
+        return (3000 + 8000 * np.exp(-(((xx - s - w / 2) ** 2
+                                        + (yy - h / 2) ** 2) / (2 * 14.0 ** 2)))
+                + 1500 * np.sin((xx - s) / 7.0) * np.cos(yy / 9.0)
+                ).astype(np.int16)
+
+    f1 = make_goes_file(str(tmp_path / "g1.nc"), scene(0.0), band=13)
+    f2 = make_goes_file(str(tmp_path / "g2.nc"), scene(2.0), band=13,
+                        t=650000060.0)
+    return f1, f2
+
+
+CLI_FLAGS = ["-kiters", "2", "-liters", "2", "-cgiters", "8",
+             "-mesh", "2x4"]
+
+
+@pytest.mark.slow
+def test_two_process_product_matches_single(tmp_path):
+    f1, f2 = _make_pair(tmp_path)
+    port = _free_port()
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["JAX_COMPILATION_CACHE_DIR"] = os.path.join(REPO, ".jax_cache")
+    env["PYTHONPATH"] = REPO
+
+    procs = []
+    for pid in range(2):
+        out = str(tmp_path / f"multi{pid}")
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "octane_tpu.cli",
+             "-i1", f1, "-i2", f2, "-o", out,
+             "-coordinator", f"127.0.0.1:{port}",
+             "-nprocs", "2", "-procid", str(pid)] + CLI_FLAGS,
+            env=env, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
+    outputs = [p.communicate(timeout=900)[0].decode() for p in procs]
+    for p, o in zip(procs, outputs):
+        assert p.returncode == 0, f"worker failed:\n{o[-4000:]}"
+
+    # same distributed path, single process, 8 local devices, SAME (2,4)
+    # global mesh -> the multi-process mechanics (hyperslab ingest, block
+    # assembly, allgather, write) must be bit-invisible
+    env1 = dict(env)
+    env1["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    dist1_out = str(tmp_path / "dist1")
+    r = subprocess.run(
+        [sys.executable, "-m", "octane_tpu.cli",
+         "-i1", f1, "-i2", f2, "-o", dist1_out, "-nprocs", "1"] + CLI_FLAGS,
+        env=env1, cwd=REPO, capture_output=True, timeout=900)
+    assert r.returncode == 0, r.stderr.decode()[-4000:]
+
+    # plain single-host pipeline (eager pix2uv): loose agreement only --
+    # the haversine is cancellation-sensitive to jit FMA contraction
+    single_out = str(tmp_path / "single")
+    r = subprocess.run(
+        [sys.executable, "-m", "octane_tpu.cli",
+         "-i1", f1, "-i2", f2, "-o", single_out] + CLI_FLAGS[:-2],
+        env=env, cwd=REPO, capture_output=True, timeout=900)
+    assert r.returncode == 0, r.stderr.decode()[-4000:]
+
+    with h5py.File(os.path.join(str(tmp_path / "multi0"), "outfile.nc")) as fm, \
+            h5py.File(os.path.join(dist1_out, "outfile.nc")) as f1p, \
+            h5py.File(os.path.join(single_out, "outfile.nc")) as fs:
+        np.testing.assert_array_equal(fm["Rad"][()], f1p["Rad"][()])
+        for var in ("U", "V", "U_raw", "V_raw"):
+            # same global mesh/program, but cross-process collectives may
+            # use different reduction trees -> ulp drift in the CG psums
+            d = np.abs(np.asarray(fm[var][()], np.int32)
+                       - np.asarray(f1p[var][()], np.int32))
+            assert d.max() <= 2, f"{var}: 2p vs 1p max short diff {d.max()}"
+            assert (d == 0).mean() > 0.99, f"{var}: {(d == 0).mean()}"
+        for var in ("U", "V", "U_raw", "V_raw"):
+            d = np.abs(np.asarray(fm[var][()], np.int32)
+                       - np.asarray(fs[var][()], np.int32))
+            assert d.max() <= 5, f"{var}: max short diff {d.max()}"
+        np.testing.assert_array_equal(fm["Rad"][()], fs["Rad"][()])
