@@ -2,14 +2,12 @@
 //
 // The TPU owns the compute path (JAX/XLA/Pallas); this library owns the
 // host-side hot loops around it, replacing what the reference did with
-// per-pixel C++/CUDA host code (oct_fileread.cc count unpacking, the
-// managed-memory staging loops in every *_cuda.cu wrapper):
+// per-pixel C++ host code (oct_interp.cc:424-457 count re-quantization,
+// the staging loops in every *_cuda.cu wrapper):
 //
-//   * octane_unpack_calibrate: int16 counts -> float32 radiance
-//     (scale/offset), multithreaded; feeds host-sharded ingest at
-//     memory bandwidth instead of single-thread numpy speed.
-//   * octane_extract_tile_halo: pack a subgrid with clamp-padded halo into
-//     a contiguous buffer (per-host tile feeding for the spatial mesh).
+//   * octane_requantize: normalized [0,255] image -> int16 radiance counts
+//     (denormalize + inverse scale/offset + C truncation), multithreaded --
+//     the product-write hot loop for every temporally interpolated frame.
 //   * octane_epe_stats: endpoint-error statistics between two flow fields
 //     (mean/max), multithreaded -- the parity metric (EPE < 0.1 px).
 //
@@ -50,34 +48,18 @@ void parallel_for(int64_t n, int nthreads, F body) {
 
 extern "C" {
 
-// counts (int16, n) -> out (float32, n): out = counts * scale + offset
-void octane_unpack_calibrate(const int16_t* counts, int64_t n, float scale,
-                             float offset, float* out, int nthreads) {
+// img (float32 normalized [0, 255], n) -> counts (int16, n):
+//   counts = int16((img/255 * (vmax - vmin) + vmin - offset) / scale)
+// matching numpy's astype(int16) C-cast truncation (oct_interp.cc:424-457).
+void octane_requantize(const float* img, int64_t n, float vmin, float vmax,
+                       float scale, float offset, int16_t* out,
+                       int nthreads) {
   if (nthreads <= 0) nthreads = default_threads();
+  const float span = (vmax - vmin) / 255.0f;
   parallel_for(n, nthreads, [&](int64_t lo, int64_t hi) {
     for (int64_t i = lo; i < hi; ++i) {
-      out[i] = static_cast<float>(counts[i]) * scale + offset;
-    }
-  });
-}
-
-// src (float32, h x w) -> dst ((r1-r0+2*halo) x (c1-c0+2*halo)), rows/cols
-// clamped at the image edge (the solver's boundary convention).
-void octane_extract_tile_halo(const float* src, int64_t h, int64_t w,
-                              int64_t r0, int64_t r1, int64_t c0, int64_t c1,
-                              int64_t halo, float* dst, int nthreads) {
-  if (nthreads <= 0) nthreads = default_threads();
-  const int64_t th = (r1 - r0) + 2 * halo;
-  const int64_t tw = (c1 - c0) + 2 * halo;
-  parallel_for(th, nthreads, [&](int64_t lo, int64_t hi) {
-    for (int64_t tr = lo; tr < hi; ++tr) {
-      int64_t sr = std::min<int64_t>(h - 1, std::max<int64_t>(0, r0 - halo + tr));
-      const float* srow = src + sr * w;
-      float* drow = dst + tr * tw;
-      for (int64_t tc = 0; tc < tw; ++tc) {
-        int64_t sc = std::min<int64_t>(w - 1, std::max<int64_t>(0, c0 - halo + tc));
-        drow[tc] = srow[sc];
-      }
+      float rad = img[i] * span + vmin;
+      out[i] = static_cast<int16_t>((rad - offset) / scale);
     }
   });
 }

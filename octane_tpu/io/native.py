@@ -38,12 +38,10 @@ def _load() -> Optional[ctypes.CDLL]:
             lib = ctypes.CDLL(_LIB_PATH)
         except OSError:
             return None
-        lib.octane_unpack_calibrate.argtypes = [
-            ctypes.POINTER(ctypes.c_int16), ctypes.c_int64, ctypes.c_float,
-            ctypes.c_float, ctypes.POINTER(ctypes.c_float), ctypes.c_int]
-        lib.octane_extract_tile_halo.argtypes = [
-            ctypes.POINTER(ctypes.c_float)] + [ctypes.c_int64] * 7 + [
-            ctypes.POINTER(ctypes.c_float), ctypes.c_int]
+        lib.octane_requantize.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
+            ctypes.POINTER(ctypes.c_int16), ctypes.c_int]
         lib.octane_epe_stats.argtypes = [
             ctypes.POINTER(ctypes.c_float)] * 4 + [
             ctypes.c_int64, ctypes.c_float,
@@ -56,38 +54,24 @@ def native_available() -> bool:
     return _load() is not None
 
 
-def unpack_calibrate(counts: np.ndarray, scale: float, offset: float,
-                     nthreads: int = 0) -> np.ndarray:
-    """int16 counts -> float32 counts*scale + offset (multithreaded)."""
-    counts = np.ascontiguousarray(counts, np.int16)
+def requantize(img: np.ndarray, vmin: float, vmax: float, scale: float,
+               offset: float, nthreads: int = 0) -> np.ndarray:
+    """Normalized [0, 255] image -> int16 radiance counts (multithreaded).
+
+    counts = int16((img/255*(vmax-vmin) + vmin - offset) / scale), the
+    interpolated-frame product re-quantization (oct_interp.cc:424-457).
+    """
+    img = np.ascontiguousarray(img, np.float32)
+    span = np.float32((np.float32(vmax) - np.float32(vmin)) / np.float32(255.0))
     lib = _load()
     if lib is None:
-        return counts.astype(np.float32) * np.float32(scale) + np.float32(offset)
-    out = np.empty(counts.shape, np.float32)
-    lib.octane_unpack_calibrate(
-        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
-        counts.size, scale, offset,
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), nthreads)
-    return out
-
-
-def extract_tile_halo(src: np.ndarray, row_range: Tuple[int, int],
-                      col_range: Tuple[int, int], halo: int,
-                      nthreads: int = 0) -> np.ndarray:
-    """Contiguous tile + clamp-padded halo (host-sharded feeding)."""
-    src = np.ascontiguousarray(src, np.float32)
-    h, w = src.shape
-    r0, r1 = row_range
-    c0, c1 = col_range
-    lib = _load()
-    if lib is None:
-        padded = np.pad(src, halo, mode="edge")
-        return padded[r0:r1 + 2 * halo, c0:c1 + 2 * halo].copy()
-    out = np.empty((r1 - r0 + 2 * halo, c1 - c0 + 2 * halo), np.float32)
-    lib.octane_extract_tile_halo(
-        src.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), h, w,
-        r0, r1, c0, c1, halo,
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), nthreads)
+        rad = img * span + np.float32(vmin)
+        return ((rad - np.float32(offset)) / np.float32(scale)).astype(np.int16)
+    out = np.empty(img.shape, np.int16)
+    lib.octane_requantize(
+        img.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        img.size, vmin, vmax, scale, offset,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), nthreads)
     return out
 
 

@@ -33,18 +33,44 @@ from octane_tpu.io.writers import write_product
 from octane_tpu.pipeline import interpolate_sequence
 
 
-def _save_checkpoint(path: str, index: int, u: np.ndarray, v: np.ndarray):
-    with h5py.File(path, "w") as f:
+def _cfg_key(cfg: OFConfig) -> str:
+    """Fingerprint of the settings that must not change across a resume."""
+    import hashlib
+    return hashlib.sha256(repr(cfg).encode()).hexdigest()
+
+
+def _save_checkpoint(path: str, index: int, u: np.ndarray, v: np.ndarray,
+                     key: str, files_done: List[str]):
+    tmp = path + ".tmp"
+    with h5py.File(tmp, "w") as f:
         f.create_dataset("pair_index", data=np.int64(index))
         f.create_dataset("u_pix", data=np.asarray(u, np.float32))
         f.create_dataset("v_pix", data=np.asarray(v, np.float32))
+        f.attrs["cfg_key"] = key
+        f.attrs["files_done"] = "\n".join(files_done)
+    os.replace(tmp, path)        # atomic: a kill mid-save keeps the old one
 
 
-def _load_checkpoint(path: str):
+def _load_checkpoint(path: str, key: str = None, files: List[str] = None):
     if not os.path.exists(path):
         return None
     with h5py.File(path, "r") as f:
-        return (int(f["pair_index"][()]),
+        def _s(a):
+            return a.decode() if isinstance(a, bytes) else str(a)
+
+        if key is not None and _s(f.attrs.get("cfg_key", "")) != key:
+            raise ValueError(
+                "checkpoint was written by a run with different solver "
+                "settings; delete it (or rerun with the original settings) "
+                f"to resume: {path}")
+        idx = int(f["pair_index"][()])
+        if files is not None:
+            done = _s(f.attrs.get("files_done", "")).split("\n")
+            if done != list(files[:len(done)]):
+                raise ValueError(
+                    "checkpoint was written against a different frame list "
+                    f"(appending new frames is fine; reordering is not): {path}")
+        return (idx,
                 np.asarray(f["u_pix"][()]),
                 np.asarray(f["v_pix"][()]))
 
@@ -68,8 +94,9 @@ def run_sequence(
     written: List[str] = []
     start = 0
     u_prev = v_prev = None
+    key = _cfg_key(cfg)
     if checkpoint:
-        state = _load_checkpoint(checkpoint)
+        state = _load_checkpoint(checkpoint, key, files)
         if state is not None:
             start, u_prev, v_prev = state
             start += 1
@@ -95,7 +122,8 @@ def run_sequence(
         u_prev = scene1.u_pix
         v_prev = scene1.v_pix
         if checkpoint:
-            _save_checkpoint(checkpoint, i, u_prev, v_prev)
+            _save_checkpoint(checkpoint, i, u_prev, v_prev, key,
+                             files[:i + 2])
         # roll: frame i+1 becomes the new reference frame
         scene2 = read_scene(files[i + 1], cfg, donav=True, scene=scene2)
         scene1 = scene2

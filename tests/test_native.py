@@ -15,24 +15,23 @@ def lib_built():
 
 
 class TestNative:
-    def test_unpack_calibrate(self, lib_built):
+    def test_requantize(self, lib_built):
         rng = np.random.default_rng(0)
-        counts = rng.integers(-2000, 14000, (257, 511)).astype(np.int16)
-        got = native.unpack_calibrate(counts, 0.04, -0.5)
-        want = counts.astype(np.float32) * np.float32(0.04) + np.float32(-0.5)
-        np.testing.assert_allclose(got, want, rtol=1e-6)
-
-    def test_extract_tile_halo(self, lib_built):
-        rng = np.random.default_rng(1)
-        src = rng.normal(0, 1, (37, 53)).astype(np.float32)
-        got = native.extract_tile_halo(src, (8, 24), (16, 40), 5)
-        want = np.pad(src, 5, mode="edge")[8:24 + 10, 16:40 + 10]
+        img = rng.uniform(0, 255, (257, 511)).astype(np.float32)
+        vmin, vmax, scale, offset = 85.0, 325.0, 0.04, -0.5
+        got = native.requantize(img, vmin, vmax, scale, offset)
+        span = np.float32((np.float32(vmax) - np.float32(vmin))
+                          / np.float32(255.0))
+        rad = img * span + np.float32(vmin)
+        want = ((rad - np.float32(offset)) / np.float32(scale)).astype(np.int16)
         np.testing.assert_array_equal(got, want)
 
-    def test_tile_halo_at_edges(self, lib_built):
-        src = np.arange(20, dtype=np.float32).reshape(4, 5)
-        got = native.extract_tile_halo(src, (0, 4), (0, 5), 2)
-        want = np.pad(src, 2, mode="edge")
+    def test_requantize_negative_truncation(self, lib_built):
+        # C int16 cast truncates toward zero, like numpy astype
+        img = np.asarray([[0.0, 1.7, 254.9]], np.float32)
+        got = native.requantize(img, -100.0, 100.0, 1.0, 0.0)
+        want = (((img * np.float32(200.0 / 255.0) + np.float32(-100.0))
+                 - 0.0) / 1.0).astype(np.int16)
         np.testing.assert_array_equal(got, want)
 
     def test_epe_stats(self, lib_built):
@@ -48,10 +47,8 @@ class TestNative:
 
     def test_numpy_fallback_paths(self, monkeypatch):
         monkeypatch.setattr(native, "_load", lambda: None)
-        counts = np.arange(10, dtype=np.int16)
-        got = native.unpack_calibrate(counts, 2.0, 1.0)
-        np.testing.assert_allclose(got, counts * 2.0 + 1.0)
-        src = np.ones((6, 6), np.float32)
-        assert native.extract_tile_halo(src, (0, 6), (0, 6), 1).shape == (8, 8)
-        m, mx, fr = native.epe_stats(src, src, src, src)
+        img = np.full((4, 4), 128.0, np.float32)
+        got = native.requantize(img, 0.0, 255.0, 1.0, 0.0)
+        np.testing.assert_array_equal(got, np.full((4, 4), 128, np.int16))
+        m, mx, fr = native.epe_stats(img, img, img, img)
         assert m == 0.0

@@ -94,3 +94,53 @@ class TestProfiling:
         rows = dict((r[0], r[1]) for r in t.summary())
         assert rows == {"a": 2, "b": 1}
         assert "total_ms" in t.report()
+
+
+class TestCheckpointRobustness:
+    def test_killed_and_resumed_with_interp(self, frames, tmp_path):
+        """A job killed mid-sequence resumes to the same products as an
+        uninterrupted run, including the interpolated frames."""
+        files, _ = frames
+        cfg = OFConfig(kiters=2, cgiters=10, do_interp=True, deltat=200.0)
+        ref_dir = str(tmp_path / "ref")
+        ref = run_sequence(files, cfg, outdir=ref_dir,
+                           interp_dir=str(tmp_path / "ref_interp"))
+
+        # "killed" run: stop after the first two pairs, then resume
+        ck = str(tmp_path / "ckpt.h5")
+        part_dir = str(tmp_path / "part")
+        run_sequence(files[:3], cfg, outdir=part_dir, checkpoint=ck,
+                     interp_dir=str(tmp_path / "part_interp"))
+        out = run_sequence(files, cfg, outdir=part_dir, checkpoint=ck,
+                           interp_dir=str(tmp_path / "part_interp"))
+        # resume produced only the remaining pair's products
+        assert all("_002" in p or "interp" in p for p in out)
+
+        import os
+        for rp in ref:
+            pp = rp.replace(ref_dir, part_dir).replace("ref_interp",
+                                                       "part_interp")
+            assert os.path.exists(pp), pp
+            with h5py.File(rp) as fr, h5py.File(pp) as fp:
+                for var in ("U_raw", "V_raw"):
+                    if var in fr:
+                        np.testing.assert_array_equal(fr[var][()], fp[var][()])
+
+    def test_resume_refuses_changed_settings(self, frames, tmp_path):
+        files, _ = frames
+        ck = str(tmp_path / "ckpt.h5")
+        run_sequence(files[:3], OFConfig(kiters=2, cgiters=10),
+                     outdir=str(tmp_path / "a"), checkpoint=ck)
+        with pytest.raises(ValueError, match="different solver settings"):
+            run_sequence(files, OFConfig(kiters=2, cgiters=12),
+                         outdir=str(tmp_path / "a"), checkpoint=ck)
+
+    def test_resume_refuses_reordered_frames(self, frames, tmp_path):
+        files, _ = frames
+        cfg = OFConfig(kiters=2, cgiters=10)
+        ck = str(tmp_path / "ckpt.h5")
+        run_sequence(files[:3], cfg, outdir=str(tmp_path / "a"), checkpoint=ck)
+        reordered = [files[1], files[0]] + files[2:]
+        with pytest.raises(ValueError, match="different frame list"):
+            run_sequence(reordered, cfg, outdir=str(tmp_path / "a"),
+                         checkpoint=ck)
