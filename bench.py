@@ -1,10 +1,21 @@
 """Benchmark: dense variational optical flow throughput on one chip.
 
-Runs the full coarse-to-fine solve (1024x1024 pair, default reference
-settings: 4-level pyramid, 3 GNC x 3 inner iterations, <=30 CG, alpha=5,
-lambda=1) on the default JAX backend and prints one JSON line:
+Measures the full coarse-to-fine solve (reference default settings:
+3 GNC x 3 inner iterations, <=30 CG, alpha=5, lambda=1) at the BASELINE.md
+config shapes and prints one JSON line:
   {"metric": "variational_flow_mpix_s", "value": ..., "unit": "Mpix/s",
    "vs_baseline": ...}
+
+  --config 1   512x512 CONUS band-13 crop, 3-level pyramid (CPU-runnable)
+  --config 2   5008x3008 CONUS band-2 1-km, 5-level pyramid
+  --config 3   5424x5424 full-disk band-13 2-km, 4-level pyramid  [default]
+  --config 4   8192x8192 hybrid: patch-match init + variational refine
+  --config 5   12-frame 500x500 mesoscale sequence with first-guess warm
+               starts (value = end-to-end sequence Mpix/s)
+
+The default headline is config 3: a REAL product shape (5424 is not a
+multiple of 128; the Pallas warp engages through pad-to-block), not a
+synthetic power of two.
 
 Throughput is measured at steady state, the production-serving condition:
 K solves are dispatched back-to-back (inputs varied per rep so nothing can
@@ -19,6 +30,7 @@ BASELINE.json: full-disk 0.5-km band-2 (21696^2 = 470.7 Mpix) in < 2 s on a
 v5e-16 => ~14.7 Mpix/s/chip.  vs_baseline > 1 beats the target.
 """
 
+import argparse
 import json
 import os
 import time
@@ -36,59 +48,125 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 NORTH_STAR_MPIX_S_PER_CHIP = (21696.0 ** 2 / 1e6) / 2.0 / 16.0   # ~14.71
 
 
-def synth_pair(h, w, seed=0):
+def synth_pair(h, w, seed=0, shift=2.4):
     rng = np.random.default_rng(seed)
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
-    base = (
-        120.0 * np.exp(-(((xx - w / 3) ** 2 + (yy - h / 3) ** 2) / (2 * (w / 8) ** 2)))
-        + 60.0 * np.sin(xx / 9.0) * np.cos(yy / 7.0)
-        + 50.0
-        + rng.normal(0, 2.0, (h, w)).astype(np.float32)
-    )
-    shift = 2.4
-    warped = (
-        120.0 * np.exp(-(((xx - shift - w / 3) ** 2 + (yy - h / 3) ** 2) / (2 * (w / 8) ** 2)))
-        + 60.0 * np.sin((xx - shift) / 9.0) * np.cos(yy / 7.0)
-        + 50.0
-        + rng.normal(0, 2.0, (h, w)).astype(np.float32)
-    )
-    return base.astype(np.float32), warped.astype(np.float32)
+
+    def scene(s):
+        return (
+            120.0 * np.exp(-(((xx - s - w / 3) ** 2 + (yy - h / 3) ** 2)
+                             / (2 * (w / 8) ** 2)))
+            + 60.0 * np.sin((xx - s) / 9.0) * np.cos(yy / 7.0)
+            + 50.0
+            + rng.normal(0, 2.0, (h, w)).astype(np.float32)
+        )
+
+    return scene(0.0).astype(np.float32), scene(shift).astype(np.float32)
 
 
-def main():
-    from octane_tpu.config import OFConfig
-    from octane_tpu.flow.variational import flow_program
-
-    h = w = 1024
-    im1, im2 = synth_pair(h, w)
-    zero = np.zeros((h, w), np.float32)
-    cfg = OFConfig(kiters=4, alpha=5.0, lambda_=1.0)
-
-    program = flow_program(cfg, (h, w), 1)
-    g1 = jnp.asarray(im1[None])
-    g2 = jnp.asarray(im2[None])
-    z = jnp.asarray(zero)
-
+def steady_state_s(run_one, k=4, reps=3):
+    """Per-dispatch seconds from the slope of a K-chain vs a 2K-chain."""
     def chain(n, base):
-        # n solves back-to-back; per-rep input perturbation defeats any
-        # execution caching, single scalar readback drains the queue
         s = jnp.float32(0)
         t0 = time.perf_counter()
         for i in range(n):
-            u, v = program(g1, g2, z + jnp.float32(base + i) * 1e-6, z)
-            s = s + u[0, 0]
+            s = s + run_one(base + i)
         float(s)
         return time.perf_counter() - t0
 
     chain(1, 999)  # warmup / compile
-    K = 6
-    t1 = min(chain(K, 1 + r * 100) for r in range(3))
-    t2 = min(chain(2 * K, 51 + r * 100) for r in range(3))
-    dt = (t2 - t1) / K  # steady-state per-pair seconds
+    t1 = min(chain(k, 1 + r * 100) for r in range(reps))
+    t2 = min(chain(2 * k, 51 + r * 100) for r in range(reps))
+    return (t2 - t1) / k
 
-    mpix_s = (h * w / 1e6) / dt
+
+def bench_variational(h, w, kiters, k_chain=4):
+    from octane_tpu.config import OFConfig
+    from octane_tpu.flow.variational import flow_program
+
+    im1, im2 = synth_pair(h, w)
+    cfg = OFConfig(kiters=kiters, alpha=5.0, lambda_=1.0)
+    program = flow_program(cfg, (h, w), 1)
+    g1 = jnp.asarray(im1[None])
+    g2 = jnp.asarray(im2[None])
+    z = jnp.zeros((h, w), jnp.float32)
+
+    def run_one(i):
+        u, v = program(g1, g2, z + jnp.float32(i) * 1e-6, z)
+        return u[0, 0]
+
+    dt = steady_state_s(run_one, k=k_chain)
+    return (h * w / 1e6) / dt
+
+
+def bench_hybrid(h, w, kiters):
+    """Config 4 proxy: patch-match initialization + variational refinement
+    at the largest single-chip shape (the 21696^2 original is multi-host)."""
+    from octane_tpu.config import OFConfig
+    from octane_tpu.flow.patch_match import patch_match_flow
+    from octane_tpu.flow.variational import flow_program
+
+    im1, im2 = synth_pair(h, w)
+    cfg = OFConfig(kiters=kiters, alpha=5.0, lambda_=1.0)
+    program = flow_program(cfg, (h, w), 1)
+    g1 = jnp.asarray(im1[None])
+    g2 = jnp.asarray(im2[None])
+    z = jnp.zeros((h, w), jnp.float32)
+    pm = jax.jit(lambda a, b, u0, v0: patch_match_flow(a, b, u0, v0, 2, 2))
+
+    def run_one(i):
+        u0, v0 = pm(g1[0], g2[0], z + jnp.float32(i) * 1e-6, z)
+        u, v = program(g1, g2, u0, v0)
+        return u[0, 0]
+
+    dt = steady_state_s(run_one, k=2)
+    return (h * w / 1e6) / dt
+
+
+def bench_sequence(h, w, nframes):
+    """Config 5: sequential pairs with first-guess warm starts."""
+    from octane_tpu.config import OFConfig
+    from octane_tpu.flow.variational import flow_program
+
+    cfg = OFConfig(kiters=3, alpha=5.0, lambda_=1.0, lambdac=0.05)
+    program = flow_program(cfg, (h, w), 1)
+    frames = [jnp.asarray(synth_pair(h, w, seed=i)[0][None])
+              for i in range(nframes)]
+    z = jnp.zeros((h, w), jnp.float32)
+
+    def run_seq(base):
+        u, v = z + jnp.float32(base) * 1e-6, z
+        for i in range(nframes - 1):
+            u, v = program(frames[i], frames[i + 1], u, v)
+        return u[0, 0]
+
+    dt = steady_state_s(run_seq, k=2)          # seconds per 11-pair sequence
+    return ((nframes - 1) * h * w / 1e6) / dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", type=int, default=3, choices=range(1, 6))
+    args = ap.parse_args()
+
+    if args.config == 1:
+        mpix_s = bench_variational(512, 512, kiters=3, k_chain=6)
+        metric = "variational_flow_conus_crop_mpix_s"
+    elif args.config == 2:
+        mpix_s = bench_variational(5008, 3008, kiters=5, k_chain=3)
+        metric = "variational_flow_conus_band2_mpix_s"
+    elif args.config == 3:
+        mpix_s = bench_variational(5424, 5424, kiters=4, k_chain=3)
+        metric = "variational_flow_mpix_s"
+    elif args.config == 4:
+        mpix_s = bench_hybrid(8192, 8192, kiters=4)
+        metric = "hybrid_flow_mpix_s"
+    else:
+        mpix_s = bench_sequence(500, 500, nframes=12)
+        metric = "sequence_flow_mpix_s"
+
     print(json.dumps({
-        "metric": "variational_flow_mpix_s",
+        "metric": metric,
         "value": round(mpix_s, 3),
         "unit": "Mpix/s",
         "vs_baseline": round(mpix_s / NORTH_STAR_MPIX_S_PER_CHIP, 3),
