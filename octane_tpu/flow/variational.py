@@ -33,13 +33,13 @@ from octane_tpu.flow.cg import pcg_solve, sor_solve
 @functools.partial(
     jax.jit,
     static_argnames=("liters", "cgiters", "gnc_steps", "dozim", "solver",
-                     "warp_fn", "true_hw"),
+                     "warp_fn", "true_hw", "fused_cg"),
 )
 def solve_level(
     g1, g2, u, v, uhat, vhat,
     alpha, lam_over_alpha, lambdac, tol,
     liters: int, cgiters: int, gnc_steps: int, dozim: bool, solver: str = "pcg",
-    warp_fn=None, true_hw=None,
+    warp_fn=None, true_hw=None, fused_cg: bool = False,
 ):
     """Run GNC x inner iterations at one pyramid level.
 
@@ -71,6 +71,9 @@ def solve_level(
             )
             if solver == "sor":
                 du, dv = sor_solve(sys, tol, cgiters, true_hw=true_hw)
+            elif fused_cg:
+                from octane_tpu.ops.pallas.cg import pcg_solve_fused
+                du, dv = pcg_solve_fused(sys, tol, cgiters)
             else:
                 du, dv = pcg_solve(
                     lambda a, b: apply_stencil(sys, a, b, true_hw=true_hw),
@@ -96,7 +99,7 @@ def solve_level(
 
 
 def _coarse_to_fine(geo1, geo2, u0, v0, cfg: OFConfig, warp_fns=None,
-                    true_shape=None):
+                    true_shape=None, allow_fused=False):
     """Trace the full pyramid schedule (shapes static, loop unrolled).
 
     ``warp_fns`` optionally maps level index -> warp sampler (Pallas or
@@ -136,6 +139,12 @@ def _coarse_to_fine(geo1, geo2, u0, v0, cfg: OFConfig, warp_fns=None,
             u = zoom_in_flow(u, (nyy, nxx), cfg.scale_factor, zi, zo)
             v = zoom_in_flow(v, (nyy, nxx), cfg.scale_factor, zi, zo)
 
+        # the fused Pallas CG runs single-device only (a pallas_call cannot
+        # be GSPMD-partitioned) and at the true dims
+        fused = False
+        if allow_fused and cfg.solver == "pcg" and cfg.use_pallas and not padded:
+            from octane_tpu.ops.pallas.cg import pallas_cg_available
+            fused = pallas_cg_available((nyy, nxx))
         u, v = solve_level(
             g1, g2, u, v, uhat, vhat,
             jnp.float32(cfg.alpha), jnp.float32(cfg.lambda_over_alpha),
@@ -143,6 +152,7 @@ def _coarse_to_fine(geo1, geo2, u0, v0, cfg: OFConfig, warp_fns=None,
             cfg.liters, cfg.cgiters, cfg.gnc_steps, cfg.dozim, cfg.solver,
             warp_fn=warp_fns.get(k) if warp_fns else None,
             true_hw=(tny, tnx) if padded else None,
+            fused_cg=fused,
         )
         prev_true = (tny, tnx)
     return u, v
@@ -179,7 +189,8 @@ def flow_program(cfg: OFConfig, shape, nchan: int):
 
     @jax.jit
     def program(geo1, geo2, u0, v0):
-        return _coarse_to_fine(geo1, geo2, u0, v0, cfg, warp_fns or None)
+        return _coarse_to_fine(geo1, geo2, u0, v0, cfg, warp_fns or None,
+                               allow_fused=True)
 
     _program_cache[key] = program
     return program

@@ -82,6 +82,38 @@ def check_solver():
         assert du < 1e-4 and dvv < 1e-4
 
 
+def check_fused_cg():
+    """Fused Pallas PCG vs the XLA loop: same Jacobi math/update order,
+    per-band tree dots (float-level tolerance)."""
+    from octane_tpu.flow.stencil import StencilSystem, apply_stencil
+    from octane_tpu.flow.cg import pcg_solve
+    from octane_tpu.ops.pallas.cg import pcg_solve_fused
+
+    h, w = 512, 640
+    rng = np.random.default_rng(1)
+
+    def arr(lo, hi):
+        return jnp.asarray(rng.uniform(lo, hi, (h, w)).astype(np.float32))
+
+    diag = (arr(4.5, 9.0), arr(4.5, 9.0))
+    offd = tuple(-arr(0.3, 1.0) for _ in range(4))
+    rhs = (arr(-100, 100), arr(-100, 100))
+    systems = {
+        "robust": StencilSystem(diag[0], arr(-0.2, 0.2), diag[1], *offd, *rhs),
+        "quad": StencilSystem(diag[0], arr(-0.2, 0.2), diag[1],
+                              *(jnp.float32(-1),) * 4, *rhs),
+    }
+    for name, s in systems.items():
+        du, dv = jax.jit(lambda s: pcg_solve(
+            lambda a, b: apply_stencil(s, a, b),
+            s.a1, s.a4, s.bu, s.bv, jnp.float32(1e-8), 30))(s)
+        fu, fv = jax.jit(lambda s: pcg_solve_fused(s, jnp.float32(1e-8), 30))(s)
+        scale = float(jnp.abs(du).max())
+        d = max(float(jnp.abs(fu - du).max()), float(jnp.abs(fv - dv).max()))
+        print(f"fused cg {name}: rel diff {d / scale:.2e}")
+        assert d / scale < 1e-4
+
+
 def check_bilateral():
     """Pallas SRSAL kernel vs the XLA fori_loop path (same taps/boundary;
     accumulation order differs -> float-level tolerance)."""
@@ -140,6 +172,7 @@ if __name__ == "__main__":
     print("backend:", jax.default_backend())
     check_warp()
     check_solver()
+    check_fused_cg()
     check_bilateral()
     check_reach_recovery()
     print("all TPU checks passed")
