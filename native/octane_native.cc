@@ -50,15 +50,19 @@ extern "C" {
 
 // img (float32 normalized [0, 255], n) -> counts (int16, n):
 //   counts = int16((img/255 * (vmax - vmin) + vmin - offset) / scale)
-// matching numpy's astype(int16) C-cast truncation (oct_interp.cc:424-457).
+// The divide-by-255 runs in double and the product is truncated to float
+// BEFORE the int16 C-cast, matching the reference's precision/order exactly
+// (oct_interp.cc:424-457 computes imgnew/255. in double); pre-dividing the
+// span in float can flip counts by 1 at truncation boundaries.
 void octane_requantize(const float* img, int64_t n, float vmin, float vmax,
                        float scale, float offset, int16_t* out,
                        int nthreads) {
   if (nthreads <= 0) nthreads = default_threads();
-  const float span = (vmax - vmin) / 255.0f;
+  const double span = static_cast<double>(vmax) - static_cast<double>(vmin);
   parallel_for(n, nthreads, [&](int64_t lo, int64_t hi) {
     for (int64_t i = lo; i < hi; ++i) {
-      float rad = img[i] * span + vmin;
+      float rad = static_cast<float>(
+          static_cast<double>(img[i]) / 255.0 * span + vmin);
       out[i] = static_cast<int16_t>((rad - offset) / scale);
     }
   });

@@ -106,7 +106,11 @@ def compute_flow(scene1: Scene, scene2: Scene, cfg: OFConfig,
     else:
         u, v = _variational(scene1.data, scene2.data, u0, v0, cfg, mesh)
 
-    if cfg.algorithm in ("variational", "hybrid") and cfg.use_pallas:
+    # only the single-device variational path uses the Pallas warp windows;
+    # mesh runs use the halo warp, which has its own in-program reach guard
+    # with a dense fallback (parallel/sharded.py)
+    if cfg.algorithm in ("variational", "hybrid") and cfg.use_pallas \
+            and mesh is None:
         _check_warp_reach(u, v, (h, w))
     scene1.u_pix = np.asarray(u)
     scene1.v_pix = np.asarray(v)

@@ -215,7 +215,16 @@ def patch_match_flow_sharded(geo1, geo2, mesh, rad: int = 2, srad: int = 2):
     h, w = geo1.shape
     smax = rad + srad + 1
     ry, rx = mesh.shape["dy"], mesh.shape["dx"]
-    hl, wl = h // ry, w // rx
+    # real sector dims rarely divide the mesh: edge-replication pad to the
+    # next divisible shape and crop.  Exact for every true pixel -- the
+    # reference's clamped reads beyond the true edge return the edge value,
+    # which is precisely what the replicated pad columns/rows hold.
+    hp = -(-h // ry) * ry
+    wp = -(-w // rx) * rx
+    if (hp, wp) != (h, w):
+        geo1 = jnp.pad(geo1, ((0, hp - h), (0, wp - w)), mode="edge")
+        geo2 = jnp.pad(geo2, ((0, hp - h), (0, wp - w)), mode="edge")
+    hl, wl = hp // ry, wp // rx
 
     import functools
 
@@ -228,7 +237,13 @@ def patch_match_flow_sharded(geo1, geo2, mesh, rad: int = 2, srad: int = 2):
         gx0 = lax.axis_index("dx") * wl
         g1p = halo_pad2d(g1, rad)
         g2p = halo_pad2d(g2, smax)
-        return _patch_match_local(g1p, g2p, rad, srad, h, w,
+        # padded dims as the clamp bounds: replication makes reads beyond
+        # the true edge equal to the reference's clamped reads
+        return _patch_match_local(g1p, g2p, rad, srad, hp, wp,
                                   gy0=gy0, gx0=gx0, halo=1)
 
-    return run(geo1, geo2)
+    u, v = run(geo1, geo2)
+    if (hp, wp) != (h, w):
+        u = u[:h, :w]
+        v = v[:h, :w]
+    return u, v

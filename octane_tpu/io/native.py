@@ -62,10 +62,12 @@ def requantize(img: np.ndarray, vmin: float, vmax: float, scale: float,
     interpolated-frame product re-quantization (oct_interp.cc:424-457).
     """
     img = np.ascontiguousarray(img, np.float32)
-    span = np.float32((np.float32(vmax) - np.float32(vmin)) / np.float32(255.0))
     lib = _load()
     if lib is None:
-        rad = img * span + np.float32(vmin)
+        # mirror the native/reference order: /255 in double, truncate to
+        # float32 before the int16 C-cast (oct_interp.cc:431)
+        span = np.float64(vmax) - np.float64(vmin)
+        rad = (img.astype(np.float64) / 255.0 * span + vmin).astype(np.float32)
         return ((rad - np.float32(offset)) / np.float32(scale)).astype(np.int16)
     out = np.empty(img.shape, np.int16)
     lib.octane_requantize(

@@ -172,13 +172,18 @@ def _splat_local(u_e, v_e, g1_e, g2_e, time, h, w, oy, ox, tgrid_off,
     iv2l = jnp.clip(iv2 - (ox - e), 0, ws - 2)
 
     src = (jj.astype(jnp.int32) * w + ii.astype(jnp.int32)).reshape(-1)
+    # halo_pad2d edge-replicates at the GLOBAL boundary, creating phantom
+    # copies of edge pixels with out-of-image coords; they are not sources
+    # in the single-device splat (and their negative src id would win every
+    # scan-order tie), so they must never win a target
+    src_valid = (jj >= 0) & (jj < h) & (ii >= 0) & (ii < w)
     n = th_t * tw_t
     tgts, costs, orders = [], [], []
     for l in range(2):
         for k in range(2):
             ty = jv + l - (oy - tgrid_off)
             tx = iv + k - (ox - tgrid_off)
-            keep = (ty >= 0) & (ty < th_t) & (tx >= 0) & (tx < tw_t)
+            keep = src_valid & (ty >= 0) & (ty < th_t) & (tx >= 0) & (tx < tw_t)
             tgt = jnp.where(keep, ty * tw_t + tx, n).reshape(-1)
             diff = g1_e - g2_e[jv2l + l, iv2l + k]
             cost = (diff * diff).reshape(-1)

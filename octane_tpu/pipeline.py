@@ -108,7 +108,8 @@ def interpolate_sequence(scene1: Scene, scene2: Scene, cfg: OFConfig,
         scene1.t_interp = scene1.t + scene1.dt * frt
         saved = scene1.raw_counts
         scene1.raw_counts = counts
-        suffix = "_polar" if cfg.grid == "polar" else ""
+        # per-grid naming matches the reference (oct_filewrite.cc:707-715)
+        suffix = {"goes": "", "polar": "_polar", "mercator": "_merc"}[cfg.grid]
         path = os.path.join(interp_dir, f"outfile_interp{suffix}{idx}.nc")
         written.append(write_product(path, scene1, cfg, interp=True))
         scene1.raw_counts = saved

@@ -73,6 +73,25 @@ def test_sharded_matches_single_device():
     np.testing.assert_allclose(np.asarray(got_v), np.asarray(want_v), atol=1e-5)
 
 
+def test_sharded_non_divisible_shape():
+    """Real sector dims rarely divide the mesh: the edge-replication pad
+    must keep true pixels identical to the single-device fast path."""
+    from octane_tpu.flow.patch_match import patch_match_flow_sharded
+    from octane_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(17)
+    h, w = 35, 61                       # divides neither dy=2 nor dx=4
+    im1 = rng.normal(100, 25, (h, w)).astype(np.float32)
+    im2 = np.roll(im1, (1, -1), axis=(0, 1)) \
+        + rng.normal(0, 0.4, (h, w)).astype(np.float32)
+    want_u, want_v = patch_match_flow(im1, im2, None, None, rad=1, srad=1)
+    mesh = make_mesh((2, 4))
+    got_u, got_v = patch_match_flow_sharded(im1, im2, mesh, rad=1, srad=1)
+    assert got_u.shape == (h, w)
+    np.testing.assert_allclose(np.asarray(got_u), np.asarray(want_u), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_v), np.asarray(want_v), atol=1e-5)
+
+
 def test_integer_translation_recovered():
     rng = np.random.default_rng(9)
     h = w = 32

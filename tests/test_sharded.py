@@ -225,3 +225,30 @@ class TestShardedPost:
                                       np.asarray(want_occ))
         np.testing.assert_allclose(np.asarray(got_img),
                                    np.asarray(want_img), rtol=1e-6, atol=1e-5)
+
+    def test_interpolate_frame_global_edges(self):
+        """Phantom splat sources from halo edge-replication must never win:
+        strong non-uniform flow AT the global boundary makes filled-hole
+        values differ clearly from any phantom splat value."""
+        from octane_tpu.post.temporal import interpolate_frame
+        from octane_tpu.parallel.post import sharded_interpolate_frame
+
+        mesh = make_mesh((2, 4))
+        h, w = 64, 128
+        rng = np.random.default_rng(21)
+        im1 = rng.normal(100, 30, (1, h, w)).astype(np.float32)
+        im2 = np.roll(im1, (0, -2, 5), axis=(0, 1, 2)).astype(np.float32)
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        # flow varies strongly along the edges (sin) so a phantom copy of an
+        # edge pixel carries a visibly different value than the hole fill
+        u = (5.0 + 3.0 * np.sin(yy / 3.0)).astype(np.float32)
+        v = (-2.0 + 2.0 * np.cos(xx / 4.0)).astype(np.float32)
+        want_img, want_occ = interpolate_frame(
+            jnp.asarray(u), jnp.asarray(v), jnp.asarray(im1),
+            jnp.asarray(im2), 0.5)
+        got_img, got_occ = sharded_interpolate_frame(
+            u, v, im1, im2, 0.5, mesh, max_disp=9)
+        np.testing.assert_array_equal(np.asarray(got_occ),
+                                      np.asarray(want_occ))
+        np.testing.assert_allclose(np.asarray(got_img),
+                                   np.asarray(want_img), rtol=1e-6, atol=1e-5)
