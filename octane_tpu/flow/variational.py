@@ -33,13 +33,13 @@ from octane_tpu.flow.cg import pcg_solve, sor_solve
 @functools.partial(
     jax.jit,
     static_argnames=("liters", "cgiters", "gnc_steps", "dozim", "solver",
-                     "warp_fn", "true_hw", "fused_cg"),
+                     "warp_fn", "true_hw", "fused_cg", "cg_fn"),
 )
 def solve_level(
     g1, g2, u, v, uhat, vhat,
     alpha, lam_over_alpha, lambdac, tol,
     liters: int, cgiters: int, gnc_steps: int, dozim: bool, solver: str = "pcg",
-    warp_fn=None, true_hw=None, fused_cg: bool = False,
+    warp_fn=None, true_hw=None, fused_cg: bool = False, cg_fn=None,
 ):
     """Run GNC x inner iterations at one pyramid level.
 
@@ -71,6 +71,9 @@ def solve_level(
             )
             if solver == "sor":
                 du, dv = sor_solve(sys, tol, cgiters, true_hw=true_hw)
+            elif cg_fn is not None:
+                # mesh-sharded fused Pallas PCG (parallel.cg)
+                du, dv = cg_fn(sys, tol, cgiters)
             elif fused_cg:
                 from octane_tpu.ops.pallas.cg import pcg_solve_fused
                 du, dv = pcg_solve_fused(sys, tol, cgiters)
@@ -99,7 +102,7 @@ def solve_level(
 
 
 def _coarse_to_fine(geo1, geo2, u0, v0, cfg: OFConfig, warp_fns=None,
-                    true_shape=None, allow_fused=False):
+                    true_shape=None, allow_fused=False, cg_fns=None):
     """Trace the full pyramid schedule (shapes static, loop unrolled).
 
     ``warp_fns`` optionally maps level index -> warp sampler (Pallas or
@@ -153,6 +156,7 @@ def _coarse_to_fine(geo1, geo2, u0, v0, cfg: OFConfig, warp_fns=None,
             warp_fn=warp_fns.get(k) if warp_fns else None,
             true_hw=(tny, tnx) if padded else None,
             fused_cg=fused,
+            cg_fn=cg_fns.get(k) if cg_fns else None,
         )
         prev_true = (tny, tnx)
     return u, v

@@ -46,11 +46,18 @@ edge); boundary flags and interpolation weights match the reference.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+
+def interpret_mode() -> bool:
+    """Run Pallas kernels in interpret mode (CPU tests of the real kernel
+    paths, including under shard_map)."""
+    return os.environ.get("OCTANE_PALLAS_INTERPRET", "0") == "1"
 
 SRC_W = 384          # source window width (three 128-lane vregs)
 CPAD = 128           # left column padding (window origins are 128-aligned)
@@ -60,27 +67,55 @@ DV = 19              # row window half-slack; 2*DV+2 rows per window, 8-aligned
 
 def _kernel(srow_ref, scol_ref, dlo_ref, dhi_ref, eflag_ref, f_hbm,
             u_ref, v_ref, o_ref, bx_ref, by_ref,
-            src, er_lo, er_hi, sem, sem_lo, sem_hi, *, k, h, w, bh, dv, src_h):
+            src2, er_lo2, er_hi2, sem, sem_lo, sem_hi,
+            *, k, h, w, bh, dv, src_h, gw, nblk):
+    # h/w here are the FIELD true dims (== output dims unless the caller
+    # samples a larger frame, e.g. a halo-padded shard block)
     rb = pl.program_id(0)
     cb = pl.program_id(1)
+    two = jnp.int32(2)
+    lin = rb * gw + cb
+    cur = jax.lax.rem(lin, two)
+    nxt = jax.lax.rem(lin + 1, two)
+
+    def start_dma(buf, blk):
+        """Issue the three window DMAs for linear block ``blk`` into
+        double-buffer slot ``buf`` (data-driven origins from the prefetched
+        per-block stats)."""
+        bi = blk // gw
+        bj = jax.lax.rem(blk, jnp.int32(gw))
+        s_row = pl.multiple_of(srow_ref[bi, bj], 8)
+        s_col = pl.multiple_of(scol_ref[bi, bj], 128)
+        pltpu.make_async_copy(
+            f_hbm.at[:, pl.ds(s_row, src_h), pl.ds(s_col, SRC_W)],
+            src2.at[buf], sem.at[buf]).start()
+        # edge rows 0 / fh-1 for boundary-clamped pixels: row-clamped
+        # samples read exactly one of these two rows.  The host replicates
+        # them 8x into the top padding band (padded rows [0, 8) / [8, 16))
+        # so the DMA moves whole 8-row tiles.
+        pltpu.make_async_copy(
+            f_hbm.at[:, pl.ds(0, 8), pl.ds(s_col, SRC_W)],
+            er_lo2.at[buf], sem_lo.at[buf]).start()
+        pltpu.make_async_copy(
+            f_hbm.at[:, pl.ds(8, 8), pl.ds(s_col, SRC_W)],
+            er_hi2.at[buf], sem_hi.at[buf]).start()
+
+    # software pipeline: block 0 starts its own window; every block then
+    # prefetches block lin+1's window before computing on its own, hiding
+    # the DMA issue+transfer latency behind the gather compute
+    @pl.when(lin == 0)
+    def _():
+        start_dma(cur, lin)
+
+    @pl.when(lin + 1 < nblk)
+    def _():
+        start_dma(nxt, lin + 1)
+
     s_row = pl.multiple_of(srow_ref[rb, cb], 8)
     s_col = pl.multiple_of(scol_ref[rb, cb], 128)
-
-    # data-driven window: padded rows [s_row, s_row+src_h), cols [s_col, +384)
-    cp = pltpu.make_async_copy(
-        f_hbm.at[:, pl.ds(s_row, src_h), pl.ds(s_col, SRC_W)],
-        src, sem)
-    cp.start()
-    # edge rows 0 / h-1 for boundary-clamped pixels: row-clamped samples
-    # read exactly one of these two rows.  The host replicates them 8x into
-    # the top padding band (padded rows [0, 8) / [8, 16)) so the DMA moves
-    # whole 8-row tiles (sublane slicing must be 8-aligned).
-    cp_lo = pltpu.make_async_copy(
-        f_hbm.at[:, pl.ds(0, 8), pl.ds(s_col, SRC_W)], er_lo, sem_lo)
-    cp_hi = pltpu.make_async_copy(
-        f_hbm.at[:, pl.ds(8, 8), pl.ds(s_col, SRC_W)], er_hi, sem_hi)
-    cp_lo.start()
-    cp_hi.start()
+    src = src2.at[cur]
+    er_lo = er_lo2.at[cur]
+    er_hi = er_hi2.at[cur]
 
     u = u_ref[:]
     v = v_ref[:]
@@ -106,9 +141,16 @@ def _kernel(srow_ref, scol_ref, dlo_ref, dhi_ref, eflag_ref, f_hbm,
     ci = jnp.clip(iv1 + CPAD - s_col, 0, SRC_W - 2)
     d2 = jnp.clip(jv1 + bh - s_row - lj, 0, 2 * dv)
 
-    cp.wait()
-    cp_lo.wait()
-    cp_hi.wait()
+    # wait for THIS block's window (issued by the previous grid step)
+    pltpu.make_async_copy(
+        f_hbm.at[:, pl.ds(s_row, src_h), pl.ds(s_col, SRC_W)],
+        src2.at[cur], sem.at[cur]).wait()
+    pltpu.make_async_copy(
+        f_hbm.at[:, pl.ds(0, 8), pl.ds(s_col, SRC_W)],
+        er_lo2.at[cur], sem_lo.at[cur]).wait()
+    pltpu.make_async_copy(
+        f_hbm.at[:, pl.ds(8, 8), pl.ds(s_col, SRC_W)],
+        er_hi2.at[cur], sem_hi.at[cur]).wait()
 
     # per-third lane-gather indices and the third-selection masks
     cip = ci + 1
@@ -196,7 +238,8 @@ def _kernel(srow_ref, scol_ref, dlo_ref, dhi_ref, eflag_ref, f_hbm,
 
 def _sample_indices(u, v, h, w, hp, wp):
     """Integer sample cell origins (jv1, iv1) on the padded output grid,
-    mirroring the kernel's clamp math exactly."""
+    mirroring the kernel's clamp math exactly.  ``h``/``w`` are the FIELD
+    true dims (clamp bounds)."""
     up = jnp.pad(u, ((0, hp - u.shape[0]), (0, wp - u.shape[1])))
     vp = jnp.pad(v, ((0, hp - v.shape[0]), (0, wp - v.shape[1])))
     jj = jnp.arange(hp, dtype=jnp.float32)[:, None]
@@ -213,7 +256,7 @@ def _sample_indices(u, v, h, w, hp, wp):
 _BIG = jnp.int32(1 << 30)
 
 
-def _block_stats(jv1, iv1, vp, h, w, hp, wp, bh):
+def _block_stats(jv1, iv1, vp, h, w, hp, wp, bh, fh=None):
     """Per-block window stats + row-clamped-pixel flags.
 
     Row stats run over the TRUE region excluding row-boundary-clamped
@@ -224,12 +267,13 @@ def _block_stats(jv1, iv1, vp, h, w, hp, wp, bh):
     region including clamped pixels (the column window is absolute, so the
     clamp cannot break the lane pattern).
     """
+    fh = h if fh is None else fh
     gh, gw = hp // bh, wp // BW
     valid = ((jnp.arange(hp, dtype=jnp.int32)[:, None] < h)
              & (jnp.arange(wp, dtype=jnp.int32)[None, :] < w)
              ).reshape(gh, bh, gw, BW)
     py_raw = jnp.arange(hp, dtype=jnp.float32)[:, None] + vp
-    rclamp = ((py_raw < 0.0) | (py_raw >= h)).reshape(gh, bh, gw, BW)
+    rclamp = ((py_raw < 0.0) | (py_raw >= fh)).reshape(gh, bh, gw, BW)
     rvalid = valid & ~rclamp
     lj = jnp.arange(hp, dtype=jnp.int32)[:, None] % bh
     t_row = (jv1 + bh - lj).reshape(gh, bh, gw, BW)
@@ -243,17 +287,28 @@ def _block_stats(jv1, iv1, vp, h, w, hp, wp, bh):
 
 
 @functools.lru_cache(maxsize=None)
-def _build(k, h, w, dv, bh, hp, wp):
-    """Kernel at true dims (h, w), grid over padded dims (hp, wp)."""
+def _build(k, h, w, dv, bh, hp, wp, fh=None, fw=None):
+    """Kernel with OUTPUT true dims (h, w), grid over padded dims (hp, wp),
+    sampling a field of true dims (fh, fw) -- equal to (h, w) unless the
+    caller samples a larger frame (a halo-padded shard block), in which
+    case positions are expected pre-shifted into the field frame."""
+    fh = h if fh is None else fh
+    fw = w if fw is None else fw
     src_h = bh + 2 * dv + 2
     gh, gw = hp // bh, wp // BW
     # padded-array extents: rows get a bh top halo (so a window can start
     # anywhere the clamp allows) and bottom slack; cols similarly
-    rows_p = hp + 2 * bh + 2 * dv + 2
-    cols_p = wp + CPAD + SRC_W
-    kern = functools.partial(_kernel, k=k, h=h, w=w, bh=bh, dv=dv, src_h=src_h)
+    rows_p = max(hp, fh) + 2 * bh + 2 * dv + 2
+    cols_p = -(-(max(wp, fw) + CPAD) // 128) * 128 + SRC_W
+    kern = functools.partial(_kernel, k=k, h=fh, w=fw, bh=bh, dv=dv,
+                             src_h=src_h, gw=gw, nblk=gh * gw)
     call = pl.pallas_call(
         kern,
+        interpret=interpret_mode(),
+        # the double-buffered window scratch + gather relayouts exceed the
+        # default 16M scoped-vmem stack at bh=256
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=5,
             grid=(gh, gw),
@@ -273,12 +328,12 @@ def _build(k, h, w, dv, bh, hp, wp):
                              memory_space=pltpu.VMEM),
             ),
             scratch_shapes=[
-                pltpu.VMEM((k, src_h, SRC_W), jnp.float32),
-                pltpu.VMEM((k, 8, SRC_W), jnp.float32),
-                pltpu.VMEM((k, 8, SRC_W), jnp.float32),
-                pltpu.SemaphoreType.DMA,
-                pltpu.SemaphoreType.DMA,
-                pltpu.SemaphoreType.DMA,
+                pltpu.VMEM((2, k, src_h, SRC_W), jnp.float32),
+                pltpu.VMEM((2, k, 8, SRC_W), jnp.float32),
+                pltpu.VMEM((2, k, 8, SRC_W), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
         out_shape=(
@@ -288,31 +343,31 @@ def _build(k, h, w, dv, bh, hp, wp):
         ),
     )
 
-    pad_rows = (bh, rows_p - h - bh)
-    pad_cols = (CPAD, cols_p - w - CPAD)
+    pad_rows = (bh, rows_p - fh - bh)
+    pad_cols = (CPAD, cols_p - fw - CPAD)
 
     def pad(fields):
         """Pre-pad the sample stack (hoistable: it is loop-invariant).
 
         The top padding band doubles as edge-row storage for the kernel's
         boundary-clamp path: padded rows [0, 8) hold row 0 replicated and
-        [8, 16) hold row h-1 (bh >= 32, so the band never reaches the true
+        [8, 16) hold row fh-1 (bh >= 32, so the band never reaches the true
         rows; the band is only read through the clipped offsets of pixels
         the edge path overwrites)."""
         p = jnp.pad(fields, ((0, 0), pad_rows, pad_cols))
         row0 = jnp.repeat(p[:, bh:bh + 1], 8, axis=1)
-        rowh = jnp.repeat(p[:, bh + h - 1:bh + h], 8, axis=1)
+        rowh = jnp.repeat(p[:, bh + fh - 1:bh + fh], 8, axis=1)
         return p.at[:, 0:8].set(row0).at[:, 8:16].set(rowh)
 
     def run(fields, u, v):
-        # accept either a raw (k, h, w) stack or one already padded
+        # accept either a raw (k, fh, fw) stack or one already padded
         padded = fields if fields.shape[-1] == cols_p else pad(fields)
-        jv1, iv1, up, vp = _sample_indices(u, v, h, w, hp, wp)
+        jv1, iv1, up, vp = _sample_indices(u, v, fh, fw, hp, wp)
         # per-block window origins from the minimum TRUE-region sample index
         # (8-aligned rows / 128-aligned cols): the full 2*dv - 7 row slack is
         # available to the spread above the min
         r_min, r_max, c_min, _, eflag = _block_stats(
-            jv1, iv1, vp, h, w, hp, wp, bh)
+            jv1, iv1, vp, h, w, hp, wp, bh, fh)
         s_row = jnp.clip(r_min // 8 * 8, 0, rows_p - src_h).astype(jnp.int32)
         d_lo = jnp.clip(r_min - s_row, 0, 2 * dv).astype(jnp.int32)
         d_hi = jnp.clip(r_max - s_row, 0, 2 * dv).astype(jnp.int32)
@@ -368,20 +423,25 @@ def pallas_warp_available(shape) -> bool:
     """Any shape >= 32x32 on a non-CPU backend (padding handles the rest);
     smaller pyramid levels stay on the XLA gather, where they are cheap."""
     h, w = shape
-    if jax.default_backend() == "cpu":
+    if jax.default_backend() == "cpu" and not interpret_mode():
         return False
     return h >= 32 and w >= 32
 
 
-def make_pallas_warp(shape, max_disp_v: int = DV):
+def make_pallas_warp(shape, max_disp_v: int = DV, field_shape=None):
     """Warp sampler with the warp_bilinear_dense signature, or None.
 
     Displacement magnitude is unbounded (data-driven window origins);
-    ``max_disp_v`` sets the per-block row-spread slack.
+    ``max_disp_v`` sets the per-block row-spread slack.  ``field_shape``
+    optionally gives a larger source-frame shape (halo-padded shard
+    blocks); positions must then be pre-shifted into the field frame, and
+    the returned boundary flags refer to the FIELD edges (sharded callers
+    compute their own global flags).
     """
     h, w = shape
     if not pallas_warp_available(shape):
         return None
+    fh, fw = shape if field_shape is None else field_shape
     dv = _round_dv(int(max_disp_v))
     bh = _pick_bh(h, dv)
     hp = -(-h // bh) * bh
@@ -389,8 +449,8 @@ def make_pallas_warp(shape, max_disp_v: int = DV):
 
     def warp(fields, u, v):
         k = fields.shape[0]
-        return _build(k, h, w, dv, bh, hp, wp)(fields, u, v)
+        return _build(k, h, w, dv, bh, hp, wp, fh, fw)(fields, u, v)
 
     warp.pad = lambda fields: _build(
-        fields.shape[0], h, w, dv, bh, hp, wp).pad(fields)
+        fields.shape[0], h, w, dv, bh, hp, wp, fh, fw).pad(fields)
     return warp
