@@ -102,18 +102,21 @@ def args_to_config(a: argparse.Namespace) -> OFConfig:
 def main(argv=None) -> int:
     a = build_parser().parse_args(argv)
     cfg = args_to_config(a)
+    ch2 = (a.ic21, a.ic22) if a.ic21 and a.ic22 else None
+    ch3 = (a.ic31, a.ic32) if a.ic31 and a.ic32 else None
     if a.nprocs:
         # -nprocs 1 runs the same distributed code path single-process
         # (useful for bit-parity tests of the multi-process mechanics)
         from octane_tpu.parallel.distributed import (
             initialize_multihost, run_pipeline_distributed)
         initialize_multihost(a.coordinator, a.nprocs, a.procid)
-        written = run_pipeline_distributed(a.i1, a.i2, cfg, outdir=a.outdir)
+        written = run_pipeline_distributed(
+            a.i1, a.i2, cfg, outdir=a.outdir,
+            cth_file=a.i1cth, firstguess_file=a.firstguess,
+            channel2=ch2, channel3=ch3, interp_dir=a.interploc)
         for w in written:
             print(f"{w} written")
         return 0
-    ch2 = (a.ic21, a.ic22) if a.ic21 and a.ic22 else None
-    ch3 = (a.ic31, a.ic32) if a.ic31 and a.ic32 else None
     written = run_pipeline(
         a.i1, a.i2, cfg, outdir=a.outdir,
         cth_file=a.i1cth, firstguess_file=a.firstguess,

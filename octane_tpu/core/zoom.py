@@ -158,6 +158,63 @@ def zoom_out_image(img: jnp.ndarray, factor: float) -> jnp.ndarray:
     return bicubic_sample(blurred, jnp.asarray(xg), jnp.asarray(yg))
 
 
+def zoom_out_image_rows(read_rows, h_in: int, w_in: int, factor: float,
+                        row_range) -> jnp.ndarray:
+    """Exact OUTPUT row block [r0, r1) of ``zoom_out_image`` on a source
+    known only through ``read_rows(s0, s1) -> (s1-s0, w_in) array``.
+
+    Reads a margin-extended source hyperslab (bicubic taps +-2, blur
+    +-filtsize) so clamp boundary conditions at the block edges are never
+    exercised except where the block edge IS the global edge -- the output
+    equals zoom_out_image(full)[r0:r1] exactly (positions are sliced from
+    the full-grid arrays, so float rounding is identical).  This is what
+    makes host-sharded multi-channel/CTH ingest possible without any host
+    ever reading the full source grid.
+    """
+    r0, r1 = row_range
+    if factor >= 0.999999:
+        return jnp.asarray(read_rows(r0, r1))
+    nyy = zoom_size(h_in, factor)
+    nxx = zoom_size(w_in, factor)
+    sigma = _weights_sigma(factor)
+    fs = ingest_filtsize(sigma)
+    kern = gaussian_kernel_1d(sigma, fs)
+    j2 = (np.arange(nyy, dtype=np.float64) / factor).astype(np.float32)[r0:r1]
+    s0 = max(0, int(np.floor(float(j2.min()))) - 2 - fs)
+    s1 = min(h_in, int(np.ceil(float(j2.max()))) + 3 + fs)
+    blk = jnp.asarray(read_rows(s0, s1))
+    blurred = blur_separable(blk, kern, fs)
+    i2 = (np.arange(nxx, dtype=np.float64) / factor).astype(np.float32)
+    xg = np.broadcast_to(i2[None, :], (r1 - r0, nxx))
+    yg = np.broadcast_to((j2 - np.float32(s0))[:, None], (r1 - r0, nxx))
+    return bicubic_sample(blurred, jnp.asarray(xg), jnp.asarray(yg))
+
+
+def zoom_in_image_rows(read_rows, h_in: int, w_in: int, new_hw, row_range,
+                       bicubic: bool = True) -> jnp.ndarray:
+    """Exact OUTPUT row block [r0, r1) of ``zoom_in_image`` (see
+    zoom_out_image_rows; margin is the bicubic +-2 tap support)."""
+    nyy, nxx = new_hw
+    r0, r1 = row_range
+    fx = np.float32(nxx) / np.float32(w_in)
+    fy = np.float32(nyy) / np.float32(h_in)
+    i2 = (np.arange(nxx, dtype=np.float32) / fx) - (
+        np.float32(0.5) - np.float32(0.5) / fx)
+    j2 = ((np.arange(nyy, dtype=np.float32) / fy) - (
+        np.float32(0.5) - np.float32(0.5) / fy))[r0:r1]
+    s0 = max(0, int(np.floor(float(j2.min()))) - 2)
+    s1 = min(h_in, int(np.floor(float(j2.max()))) + 4)
+    blk = jnp.asarray(read_rows(s0, s1))
+    j2l = j2 - np.float32(s0)
+    if bicubic:
+        xg = np.broadcast_to(i2[None, :], (r1 - r0, nxx))
+        yg = np.broadcast_to(j2l[:, None], (r1 - r0, nxx))
+        return bicubic_sample(blk, jnp.asarray(xg), jnp.asarray(yg))
+    i3 = np.clip((i2 + 0.5).astype(np.int32), 0, w_in - 1)
+    j3 = np.clip((j2 + 0.5).astype(np.int32), 0, h_in - 1) - s0
+    return blk[..., j3[:, None], i3[None, :]]
+
+
 def zoom_in_image(img: jnp.ndarray, new_hw, bicubic: bool = True) -> jnp.ndarray:
     """Ingest-path zoom in with half-pixel offset; bicubic or nearest
     (oct_zoom_in_float, oct_zoom.cc:180-222; nearest used for CTH when

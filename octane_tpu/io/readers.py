@@ -22,7 +22,8 @@ except ImportError:                                    # pragma: no cover
 
 from octane_tpu.config import OFConfig
 from octane_tpu.core.normalize import band_min_max
-from octane_tpu.core.zoom import zoom_in_image, zoom_out_image
+from octane_tpu.core.zoom import (zoom_in_image, zoom_out_image,
+                                  zoom_in_image_rows, zoom_out_image_rows)
 from octane_tpu.io.datamodel import NavConstants, Scene
 from octane_tpu.nav.goes import navcal_goes
 
@@ -85,10 +86,16 @@ def read_scene(
         y_full = np.asarray(f["y"][()], np.int16)
         band = int(_scalar(f["band_id"]))
         h_full, w_full = rad.shape
-        if row_range is not None:
+        defer_block = row_range is not None and channel != 1
+        if row_range is not None and channel == 1:
             r0, r1 = row_range
             counts = np.asarray(rad[r0:r1, :], np.int16)
             y = y_full[r0:r1]
+        elif defer_block:
+            # channels 2/3 live on their own grid: the block read happens
+            # inside the margin-extended regrid below (target-row driven)
+            counts = None
+            y = y_full
         else:
             counts = np.asarray(rad[()], np.int16)
             y = y_full
@@ -142,12 +149,13 @@ def read_scene(
         vmax = omax if omax is not None else vmax
 
         norm_used = (float(vmin), float(vmax))
-        data, lat, lon = navcal_goes(
-            jnp.asarray(counts), jnp.asarray(x), jnp.asarray(y), nav,
-            channel=ci, cal="RAW", norm_min=vmin, norm_max=vmax,
-            donav=donav and channel == 1,
-        )
-        data = np.asarray(data, np.float32)
+        if not defer_block:
+            data, lat, lon = navcal_goes(
+                jnp.asarray(counts), jnp.asarray(x), jnp.asarray(y), nav,
+                channel=ci, cal="RAW", norm_min=vmin, norm_max=vmax,
+                donav=donav and channel == 1,
+            )
+            data = np.asarray(data, np.float32)
 
     if channel == 1:
         sc = scene if scene is not None else Scene(nav=nav, data=np.zeros((0, 0, 0)))
@@ -168,7 +176,28 @@ def read_scene(
     # channels 2/3: regrid to channel-1 grid (oct_fileread.cc:361-380)
     assert scene is not None, "channel 1 must be read first"
     h1, w1 = scene.nav.ny, scene.nav.nx
-    if w1 > w:
+    if defer_block:
+        # host-sharded ingest: the regrid block is driven by the TARGET row
+        # range; read_cal_rows hyperslab-reads + calibrates only the
+        # margin-extended source rows (exact vs the full regrid)
+        def read_cal_rows(s0, s1):
+            with h5py.File(path, "r") as f2:
+                cblk = np.asarray(f2["Rad"][s0:s1, :], np.int16)
+            d, _, _ = navcal_goes(
+                jnp.asarray(cblk), jnp.asarray(x),
+                jnp.asarray(y_full[s0:s1]), nav, channel=ci, cal="RAW",
+                norm_min=vmin, norm_max=vmax, donav=False)
+            return np.asarray(d, np.float32)
+
+        if w1 > w:
+            regridded = np.asarray(zoom_in_image_rows(
+                read_cal_rows, h, w, (h1, w1), row_range, True))
+        elif w1 == w:
+            regridded = read_cal_rows(*row_range)
+        else:
+            regridded = np.asarray(zoom_out_image_rows(
+                read_cal_rows, h, w, w1 / w, row_range))
+    elif w1 > w:
         regridded = np.asarray(zoom_in_image(jnp.asarray(data), (h1, w1), True))
     elif w1 == w:
         regridded = data
@@ -240,16 +269,36 @@ def _read_flat_grid(path, cfg, donav, scene):
     return sc
 
 
-def read_cth(path: str, scene: Scene, cfg: OFConfig) -> Scene:
+def read_cth(path: str, scene: Scene, cfg: OFConfig,
+             row_range: Optional[tuple] = None) -> Scene:
     """CLAVR-x cloud-top height ingest + regrid (oct_clavrxread,
-    oct_fileread.cc:756-816)."""
+    oct_fileread.cc:756-816).  ``row_range`` restricts the regridded CTH to
+    a TARGET row block (margin-extended hyperslab source reads)."""
     _require_h5py()
     with h5py.File(path, "r") as f:
-        cth = np.asarray(f["Cloud_Top_Height_Effective"][()], np.float32)
+        ds = f["Cloud_Top_Height_Effective"]
+        hs, ws = ds.shape
+        cth = None if row_range is not None else np.asarray(ds[()], np.float32)
     xs = scene.nav.max_xc - scene.nav.min_xc
     scene.nav.cth_nx = xs
     scene.nav.cth_ny = scene.nav.max_yc - scene.nav.min_yc
     h1, w1 = scene.nav.ny, scene.nav.nx
+    if row_range is not None:
+        def read_rows(s0, s1):
+            with h5py.File(path, "r") as f2:
+                return np.asarray(
+                    f2["Cloud_Top_Height_Effective"][s0:s1, :], np.float32)
+
+        if w1 > xs:
+            scene.cth = np.asarray(zoom_in_image_rows(
+                read_rows, hs, ws, (h1, w1), row_range,
+                cfg.interp_cth_bicubic))
+        elif w1 == xs:
+            scene.cth = read_rows(*row_range)
+        else:
+            scene.cth = np.asarray(zoom_out_image_rows(
+                read_rows, hs, ws, w1 / xs, row_range))
+        return scene
     if w1 > xs:
         scene.cth = np.asarray(
             zoom_in_image(jnp.asarray(cth), (h1, w1), cfg.interp_cth_bicubic))
@@ -260,11 +309,14 @@ def read_cth(path: str, scene: Scene, cfg: OFConfig) -> Scene:
     return scene
 
 
-def read_first_guess(path: str, scene: Scene) -> Scene:
+def read_first_guess(path: str, scene: Scene,
+                     row_range: Optional[tuple] = None) -> Scene:
     """First-guess winds ingest (oct_fgread, oct_fileread.cc:817-868):
-    UFG/VFG are navigated winds in m/s on the image grid."""
+    UFG/VFG are navigated winds in m/s on the image grid.  ``row_range``
+    hyperslab-reads only that row block."""
     _require_h5py()
+    sl = slice(None) if row_range is None else slice(*row_range)
     with h5py.File(path, "r") as f:
-        scene.ufg = np.asarray(f["UFG"][()], np.float32)
-        scene.vfg = np.asarray(f["VFG"][()], np.float32)
+        scene.ufg = np.asarray(f["UFG"][sl, :], np.float32)
+        scene.vfg = np.asarray(f["VFG"][sl, :], np.float32)
     return scene

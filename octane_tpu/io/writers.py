@@ -26,6 +26,40 @@ from octane_tpu.config import OFConfig
 from octane_tpu.io.datamodel import Scene
 
 
+class RowBlockSource:
+    """Lazy 2-D product variable assembled from per-process row-block part
+    files: the writer streams one block at a time into the final dataset,
+    so merging a full-disk product never materializes more than one row
+    block per variable (octane_tpu.parallel.distributed writes the parts
+    in parallel, one per host)."""
+
+    def __init__(self, parts, name, shape, dtype):
+        self.parts = parts          # [(path, row0, row1), ...]
+        self.name = name
+        self.shape = tuple(shape)
+        self.dtype = np.dtype(dtype)
+
+    def blocks(self):
+        for path, r0, r1 in self.parts:
+            with h5py.File(path, "r") as f:
+                yield slice(r0, r1), np.asarray(f[self.name][()], self.dtype)
+
+
+class RowBlockStack:
+    """Channel-stacked view over RowBlockSources (raw_counts)."""
+
+    def __init__(self, sources):
+        self.sources = list(sources)
+        self.shape = (len(self.sources),) + self.sources[0].shape
+
+    def __getitem__(self, c):
+        return self.sources[c]
+
+
+def _asarray(data, dtype):
+    return data if isinstance(data, RowBlockSource) else np.asarray(data, dtype)
+
+
 def _dimvar(f, name, data, scale=None, offset=None):
     d = f.create_dataset(name, data=data)
     d.make_scale(name)
@@ -36,7 +70,12 @@ def _dimvar(f, name, data, scale=None, offset=None):
 
 
 def _var2d(f, name, data, xdim, ydim, **attrs):
-    d = f.create_dataset(name, data=data)
+    if isinstance(data, RowBlockSource):
+        d = f.create_dataset(name, shape=data.shape, dtype=data.dtype)
+        for sl, blk in data.blocks():
+            d[sl] = blk
+    else:
+        d = f.create_dataset(name, data=data)
     d.dims[0].attach_scale(ydim)
     d.dims[1].attach_scale(xdim)
     for k, v in attrs.items():
@@ -71,37 +110,37 @@ def write_product(path: str, scene: Scene, cfg: OFConfig,
 
         units_uv = "meters per second" if not cfg.pixuv else "x-pixels"
         if cfg.out_nav and scene.u_wind is not None:
-            _var2d(f, "U", np.asarray(scene.u_wind, np.int16), xd, yd,
+            _var2d(f, "U", _asarray(scene.u_wind, np.int16), xd, yd,
                    long_name="U", grid_mapping="goes_imager_projection",
                    scale_factor=np.float32(0.01), units=units_uv)
-            _var2d(f, "V", np.asarray(scene.v_wind, np.int16), xd, yd,
+            _var2d(f, "V", _asarray(scene.v_wind, np.int16), xd, yd,
                    long_name="V", grid_mapping="goes_imager_projection",
                    scale_factor=np.float32(0.01),
                    units="meters per second" if not cfg.pixuv else "y-pixels")
         if cfg.out_raw and scene.u_raw is not None:
-            _var2d(f, "U_raw", np.asarray(scene.u_raw, np.int16), xd, yd,
+            _var2d(f, "U_raw", _asarray(scene.u_raw, np.int16), xd, yd,
                    long_name="U Raw", grid_mapping="goes_imager_projection",
                    scale_factor=np.float32(0.01), units="x-pixels")
-            _var2d(f, "V_raw", np.asarray(scene.v_raw, np.int16), xd, yd,
+            _var2d(f, "V_raw", _asarray(scene.v_raw, np.int16), xd, yd,
                    long_name="V Raw", grid_mapping="goes_imager_projection",
                    scale_factor=np.float32(0.01), units="y-pixels")
         if cfg.pixuv and scene.u_pix is not None:
-            _var2d(f, "Upix", np.asarray(scene.u_pix, np.float32), xd, yd,
+            _var2d(f, "Upix", _asarray(scene.u_pix, np.float32), xd, yd,
                    long_name="Upix", grid_mapping="goes_imager_projection")
-            _var2d(f, "Vpix", np.asarray(scene.v_pix, np.float32), xd, yd,
+            _var2d(f, "Vpix", _asarray(scene.v_pix, np.float32), xd, yd,
                    long_name="Vpix", grid_mapping="goes_imager_projection")
         if interp and scene.occlusion is not None:
-            _var2d(f, "Occlusion", np.asarray(scene.occlusion, np.int16), xd, yd,
+            _var2d(f, "Occlusion", _asarray(scene.occlusion, np.int16), xd, yd,
                    long_name="Occlusion Masks",
                    key="0 - both, 1 - only in image 1, 2 - only in image 2")
         if cfg.out_ctp and cfg.do_cth and scene.ctp is not None:
-            _var2d(f, "CTP", np.asarray(scene.ctp, np.int16), xd, yd,
+            _var2d(f, "CTP", _asarray(scene.ctp, np.int16), xd, yd,
                    long_name="CTP", grid_mapping="goes_imager_projection",
                    interpcth=np.float32(1.0 if cfg.interp_cth_bicubic else 0.0))
         if cfg.out_rad and scene.raw_counts is not None:
             names = ["Rad", "Rad2", "Rad3"]
             for c in range(scene.raw_counts.shape[0]):
-                _var2d(f, names[c], np.asarray(scene.raw_counts[c], np.int16),
+                _var2d(f, names[c], _asarray(scene.raw_counts[c], np.int16),
                        xd, yd, long_name=names[c],
                        grid_mapping="goes_imager_projection",
                        scale_factor=np.float32(nav.rad_scale[c]),
@@ -177,12 +216,12 @@ def _write_flat_product(path: str, scene: Scene, cfg: OFConfig,
                    long_name="V", grid_mapping=gmap,
                    units="meters per second" if not cfg.pixuv else "y-pixels")
         if scene.u_pix is not None and (cfg.pixuv or scene.u_ms is None):
-            _var2d(f, "Upix", np.asarray(scene.u_pix, np.float32), xd, yd,
+            _var2d(f, "Upix", _asarray(scene.u_pix, np.float32), xd, yd,
                    long_name="Upix", grid_mapping=gmap)
-            _var2d(f, "Vpix", np.asarray(scene.v_pix, np.float32), xd, yd,
+            _var2d(f, "Vpix", _asarray(scene.v_pix, np.float32), xd, yd,
                    long_name="Vpix", grid_mapping=gmap)
         if interp and scene.occlusion is not None:
-            _var2d(f, "Occlusion", np.asarray(scene.occlusion, np.int16),
+            _var2d(f, "Occlusion", _asarray(scene.occlusion, np.int16),
                    xd, yd, long_name="Occlusion Masks",
                    key="0 - both, 1 - only in image 1, 2 - only in image 2")
         if cfg.out_rad and scene.raw_counts is not None:

@@ -164,3 +164,36 @@ class TestBoundedOps:
                                       true_in=(ch, cw), true_out=(fh, fw)))
         # the longer (zero-tap) matmul contraction may reassociate: ~1 ulp
         np.testing.assert_allclose(got[:fh, :fw], want, atol=2e-6, rtol=0)
+
+
+class TestRowsRegrid:
+    """Host-sharded regrid helpers: exact output row blocks of the full
+    regrid from margin-extended source hyperslabs."""
+
+    def _src(self):
+        rng = np.random.default_rng(0)
+        return rng.normal(100, 30, (97, 130)).astype(np.float32)
+
+    def test_zoom_out_rows_exact(self):
+        import jax.numpy as jnp
+        from octane_tpu.core.zoom import zoom_out_image, zoom_out_image_rows
+        src = self._src()
+        f = 48 / 130
+        full = np.asarray(zoom_out_image(jnp.asarray(src), f))
+        nyy = full.shape[0]
+        for r0, r1 in ((0, 7), (5, 20), (nyy - 6, nyy)):
+            blk = np.asarray(zoom_out_image_rows(
+                lambda s0, s1: src[s0:s1], 97, 130, f, (r0, r1)))
+            np.testing.assert_array_equal(blk, full[r0:r1])
+
+    def test_zoom_in_rows_exact(self):
+        import jax.numpy as jnp
+        from octane_tpu.core.zoom import zoom_in_image, zoom_in_image_rows
+        src = self._src()
+        for bic in (True, False):
+            full = np.asarray(zoom_in_image(jnp.asarray(src), (201, 260), bic))
+            for r0, r1 in ((0, 9), (50, 101), (195, 201)):
+                blk = np.asarray(zoom_in_image_rows(
+                    lambda s0, s1: src[s0:s1], 97, 130, (201, 260),
+                    (r0, r1), bic))
+                np.testing.assert_array_equal(blk, full[r0:r1])

@@ -49,6 +49,92 @@ CLI_FLAGS = ["-kiters", "2", "-liters", "2", "-cgiters", "8",
              "-mesh", "2x4"]
 
 
+def _make_extras(tmp_path, h=96, w=128):
+    from tests.synth import make_cth_file, make_firstguess_file
+
+    rng = np.random.default_rng(3)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    cth = (8000 + 2000 * np.sin(xx / 11.0) * np.cos(yy / 13.0)
+           + rng.normal(0, 30, (h, w))).astype(np.float32)
+    cthf = make_cth_file(str(tmp_path / "cth.nc"), cth)
+    ufg = (4.0 + 0.5 * np.sin(yy / 9.0)).astype(np.float32)
+    vfg = (-1.0 + 0.5 * np.cos(xx / 7.0)).astype(np.float32)
+    fgf = make_firstguess_file(str(tmp_path / "fg.nc"), ufg, vfg)
+    return cthf, fgf
+
+
+@pytest.mark.slow
+def test_two_process_full_featured(tmp_path):
+    """CTH + first guess + SRSAL + temporal interpolation under -nprocs:
+    the 2-process products must match the plain single-host pipeline."""
+    f1, f2 = _make_pair(tmp_path)
+    cthf, fgf = _make_extras(tmp_path)
+    port = _free_port()
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["JAX_COMPILATION_CACHE_DIR"] = os.path.join(REPO, ".jax_cache")
+    env["PYTHONPATH"] = REPO
+
+    extra = ["-i1cth", cthf, "-firstguess", fgf, "-srsal",
+             "-interp", "-deltat", "20"]
+    fm_out = str(tmp_path / "fm")          # shared: parts + merged product
+    procs = []
+    for pid in range(2):
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "octane_tpu.cli",
+             "-i1", f1, "-i2", f2, "-o", fm_out,
+             "-interploc", str(tmp_path / "fm_interp"),
+             "-coordinator", f"127.0.0.1:{port}",
+             "-nprocs", "2", "-procid", str(pid)] + CLI_FLAGS + extra,
+            env=env, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
+    outputs = [p.communicate(timeout=1800)[0].decode() for p in procs]
+    for p, o in zip(procs, outputs):
+        assert p.returncode == 0, f"worker failed:\n{o[-4000:]}"
+
+    # single-host reference (same (2,4) mesh so the SPMD programs match)
+    env1 = dict(env)
+    env1["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    single_out = str(tmp_path / "fsingle")
+    r = subprocess.run(
+        [sys.executable, "-m", "octane_tpu.cli",
+         "-i1", f1, "-i2", f2, "-o", single_out,
+         "-interploc", str(tmp_path / "fsingle_interp")]
+        + CLI_FLAGS + extra,
+        env=env1, cwd=REPO, capture_output=True, timeout=1800)
+    assert r.returncode == 0, r.stderr.decode()[-4000:]
+
+    with h5py.File(os.path.join(fm_out, "outfile.nc")) as fm, \
+            h5py.File(os.path.join(single_out, "outfile.nc")) as fs:
+        np.testing.assert_array_equal(fm["Rad"][()], fs["Rad"][()])
+        np.testing.assert_array_equal(fm["CTP"][()], fs["CTP"][()])
+        for var in ("U", "V", "U_raw", "V_raw"):
+            d = np.abs(np.asarray(fm[var][()], np.int32)
+                       - np.asarray(fs[var][()], np.int32))
+            # cross-process CG psums + eager-vs-jit pix2uv FMA: short-level
+            assert d.max() <= 5, f"{var}: max short diff {d.max()}"
+            assert (d == 0).mean() > 0.98, f"{var}: {(d == 0).mean()}"
+
+    # interpolated frames: flow differs at float level between runs, so
+    # requantized counts may flip the odd count; occlusion nearly equal
+    m_frames = sorted(os.listdir(str(tmp_path / "fm_interp")))
+    s_frames = sorted(os.listdir(str(tmp_path / "fsingle_interp")))
+    m_frames = [x for x in m_frames if x.endswith(".nc")]
+    s_frames = [x for x in s_frames if x.endswith(".nc")]
+    assert m_frames == s_frames and len(m_frames) >= 2
+    for name in m_frames:
+        with h5py.File(os.path.join(str(tmp_path / "fm_interp"), name)) as fm, \
+                h5py.File(os.path.join(str(tmp_path / "fsingle_interp"),
+                                       name)) as fs:
+            d = np.abs(np.asarray(fm["Rad"][()], np.int32)
+                       - np.asarray(fs["Rad"][()], np.int32))
+            assert d.max() <= 2 and (d == 0).mean() > 0.99, name
+            docc = (fm["Occlusion"][()] != fs["Occlusion"][()])
+            assert docc.mean() < 0.01, name
+
+
 @pytest.mark.slow
 def test_two_process_product_matches_single(tmp_path):
     f1, f2 = _make_pair(tmp_path)
@@ -60,12 +146,14 @@ def test_two_process_product_matches_single(tmp_path):
     env["JAX_COMPILATION_CACHE_DIR"] = os.path.join(REPO, ".jax_cache")
     env["PYTHONPATH"] = REPO
 
+    # the row-block product write needs a SHARED output directory (each
+    # process writes its part file there; process 0 streams the merge)
+    multi_out = str(tmp_path / "multi")
     procs = []
     for pid in range(2):
-        out = str(tmp_path / f"multi{pid}")
         procs.append(subprocess.Popen(
             [sys.executable, "-m", "octane_tpu.cli",
-             "-i1", f1, "-i2", f2, "-o", out,
+             "-i1", f1, "-i2", f2, "-o", multi_out,
              "-coordinator", f"127.0.0.1:{port}",
              "-nprocs", "2", "-procid", str(pid)] + CLI_FLAGS,
             env=env, cwd=REPO,
@@ -95,7 +183,7 @@ def test_two_process_product_matches_single(tmp_path):
         env=env, cwd=REPO, capture_output=True, timeout=900)
     assert r.returncode == 0, r.stderr.decode()[-4000:]
 
-    with h5py.File(os.path.join(str(tmp_path / "multi0"), "outfile.nc")) as fm, \
+    with h5py.File(os.path.join(multi_out, "outfile.nc")) as fm, \
             h5py.File(os.path.join(dist1_out, "outfile.nc")) as f1p, \
             h5py.File(os.path.join(single_out, "outfile.nc")) as fs:
         np.testing.assert_array_equal(fm["Rad"][()], f1p["Rad"][()])
