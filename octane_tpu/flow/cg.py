@@ -92,9 +92,14 @@ def sor_solve(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Red-black SOR on the coupled stencil system (alternative relaxer).
 
-    Each colour update is local given a 1-px halo; no global dot products
-    are required, which removes the per-iteration `psum` from the sharded
-    critical path.  Converges to the same solution as PCG (same system).
+    Each colour update is local given a 1-px halo; the only global
+    reduction is the convergence check, which reuses the residual the red
+    sweep computes anyway (no extra stencil applies): stop when
+    ||b - A x||^2 <= tol -- the same stopping semantics/tolerance as
+    ``pcg_solve`` -- or after ``iters`` red+black sweeps.  Converges to
+    the same solution as PCG (same SPD system), along a different iterate
+    path: parity between the two holds at convergence, not per-iterate
+    (tests/test_variational.py runs both to convergence).
     """
     from octane_tpu.flow.stencil import apply_stencil
 
@@ -113,13 +118,20 @@ def sor_solve(
         ndv = (sys.a1 * rv - sys.a2 * ru) / det
         du = jnp.where(mask, du + omega * ndu, du)
         dv = jnp.where(mask, dv + omega * ndv, dv)
-        return du, dv
+        resid = default_dot(ru, ru) + default_dot(rv, rv)
+        return du, dv, resid
 
-    def body(_, uv):
-        du, dv = uv
-        du, dv = colour_sweep(du, dv, red)
-        du, dv = colour_sweep(du, dv, ~red)
-        return du, dv
+    def cond(st):
+        return (st[2] > tol) & (st[3] < iters)
+
+    def body(st):
+        du, dv, _, k = st
+        du, dv, resid = colour_sweep(du, dv, red)
+        du, dv, _ = colour_sweep(du, dv, ~red)
+        return (du, dv, resid, k + 1)
 
     zero = jnp.zeros_like(sys.bu)
-    return jax.lax.fori_loop(0, iters, body, (zero, zero))
+    resid0 = default_dot(sys.bu, sys.bu) + default_dot(sys.bv, sys.bv)
+    du, dv, _, _ = jax.lax.while_loop(
+        cond, body, (zero, zero, resid0, jnp.int32(0)))
+    return du, dv

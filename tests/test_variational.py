@@ -184,6 +184,52 @@ class TestEndToEnd:
             im1, im2, z, z, OFConfig(kiters=2, solver="sor", cgiters=120))
         np.testing.assert_allclose(np.asarray(u1), np.asarray(u2), atol=0.08)
 
+    def test_sor_converges_to_pcg_solution(self):
+        """Run BOTH solvers to convergence on one system: SOR's iterate
+        path differs from PCG's, but the solution is the same (tight)."""
+        import jax.numpy as jnp
+        from octane_tpu.flow.stencil import StencilSystem, apply_stencil
+        from octane_tpu.flow.cg import pcg_solve, sor_solve
+
+        h, w = 40, 48
+        rng = np.random.default_rng(2)
+
+        def arr(lo, hi):
+            return jnp.asarray(rng.uniform(lo, hi, (h, w)).astype(np.float32))
+
+        s = StencilSystem(arr(4.5, 9.0), arr(-0.2, 0.2), arr(4.5, 9.0),
+                          *[-arr(0.3, 1.0) for _ in range(4)],
+                          arr(-10, 10), arr(-10, 10))
+        tol = jnp.float32(1e-8)
+        du, dv = pcg_solve(lambda a, b: apply_stencil(s, a, b),
+                           s.a1, s.a4, s.bu, s.bv, tol, 400)
+        su, sv = sor_solve(s, tol, 4000)
+        scale = float(jnp.abs(du).max())
+        d = max(float(jnp.abs(su - du).max()), float(jnp.abs(sv - dv).max()))
+        assert d / scale < 1e-4, f"rel diff at convergence {d / scale:.2e}"
+
+    def test_sor_early_stop_on_tol(self):
+        """The convergence check must actually fire: a loose tol stops far
+        below the iteration cap and still yields a near-solution."""
+        import jax.numpy as jnp
+        from octane_tpu.flow.stencil import StencilSystem
+        from octane_tpu.flow.cg import sor_solve
+
+        h, w = 24, 24
+        rng = np.random.default_rng(4)
+
+        def arr(lo, hi):
+            return jnp.asarray(rng.uniform(lo, hi, (h, w)).astype(np.float32))
+
+        s = StencilSystem(arr(6.0, 9.0), arr(-0.1, 0.1), arr(6.0, 9.0),
+                          *[-arr(0.3, 0.8) for _ in range(4)],
+                          arr(-10, 10), arr(-10, 10))
+        u_tight, _ = sor_solve(s, jnp.float32(1e-10), 4000)
+        u_loose, _ = sor_solve(s, jnp.float32(1.0), 4000)
+        # loose tol stopped earlier -> different (but close) iterate
+        d = float(jnp.abs(u_tight - u_loose).max())
+        assert 0.0 < d < 0.1
+
 
 class TestMultiChannelAssembly:
     def test_two_channel_coefficients_match_oracle(self):
