@@ -21,7 +21,12 @@ Two cost paths:
 * **navigated first guess**: patch centres are truncated per-pixel positions
   `ibc = clamp(trunc(i + u_fg))` (ref :98-99) and every tap is a clamped
   gather; the returned displacement is measured relative to that centre, NOT
-  added to the first guess (ref :138).
+  added to the first guess (ref :138).  This path is (2*rad+1)^2 x
+  (2*srad+1)^2 full-field gathers and is intended for SECTOR-SCALE grids
+  (mesoscale sequences with -sosm warm starts); full-disk hybrid runs are
+  zero-guess and take the slice path above.  At full disk with a first
+  guess, prefer `-hybrid` (the variational refiner absorbs the guess via
+  uv2pix) or quantize the guess into the search window.
 
 Reference quirks replicated: the spiral bounds check `(-SXD2 < n <= SXD2)` is
 a C parsing bug that is always true, so every visited offset participates
