@@ -388,10 +388,14 @@ def _round_dv(dv: int) -> int:
 
 
 def _pick_bh(h: int, dv: int) -> int:
-    """Block height minimizing total DMA traffic ceil(h/bh)*(bh + 2dv + 2)."""
-    win = 2 * dv + 2
-    return min((256, 128, 64, 32),
-               key=lambda bh: (-(-h // bh) * (bh + win), -bh))
+    """Block height.  The kernel is LANE-GATHER bound, and each live row
+    slice gathers the full (bh, 128) block for every pixel before masking:
+    total gather work ~ sum over blocks of (per-block row spread + 2) * bh,
+    so SMALLER blocks win (the spread shrinks with the block) despite the
+    higher window-DMA overhead ceil(h/bh)*(bh + 2dv + 2).  Measured at
+    5424^2 (bench-like flow): bh 256/128/64/32/16 -> 53.9/48.9/41.8/39.6/
+    41.4 ms -- 32 is the sweet spot (PROFILE_r03.md)."""
+    return 32
 
 
 def row_spread_within_reach(u, v, shape, max_disp_v: int = DV) -> bool:
