@@ -27,7 +27,12 @@ fed exactly like the chain does).
 
 vs_baseline normalizes against the north-star per-chip rate implied by
 BASELINE.json: full-disk 0.5-km band-2 (21696^2 = 470.7 Mpix) in < 2 s on a
-v5e-16 => ~14.7 Mpix/s/chip.  vs_baseline > 1 beats the target.
+v5e-16 => ~14.7 Mpix/s/chip.  vs_baseline > 1 beats the target.  NOTE:
+PROFILE_r03.md shows that exact reference-default semantics (270 CG
+iterations per level, no early exit) bound one v5e chip to ~11-13 Mpix/s at
+realistic HBM efficiency (~19 absolute), i.e. the normalization sits above
+the physical ceiling of the exact algorithm; we keep it unchanged and
+report honest numbers rather than re-deriving a friendlier baseline.
 """
 
 import argparse
