@@ -20,9 +20,10 @@ class TestNative:
         img = rng.uniform(0, 255, (257, 511)).astype(np.float32)
         vmin, vmax, scale, offset = 85.0, 325.0, 0.04, -0.5
         got = native.requantize(img, vmin, vmax, scale, offset)
-        span = np.float32((np.float32(vmax) - np.float32(vmin))
-                          / np.float32(255.0))
-        rad = img * span + np.float32(vmin)
+        # reference order/precision (oct_interp.cc:431): /255 in double,
+        # truncate to float32, then the int16 C-cast
+        span = np.float64(vmax) - np.float64(vmin)
+        rad = (img.astype(np.float64) / 255.0 * span + vmin).astype(np.float32)
         want = ((rad - np.float32(offset)) / np.float32(scale)).astype(np.int16)
         np.testing.assert_array_equal(got, want)
 
