@@ -27,12 +27,18 @@ fed exactly like the chain does).
 
 vs_baseline normalizes against the north-star per-chip rate implied by
 BASELINE.json: full-disk 0.5-km band-2 (21696^2 = 470.7 Mpix) in < 2 s on a
-v5e-16 => ~14.7 Mpix/s/chip.  vs_baseline > 1 beats the target.  NOTE:
-PROFILE_r03.md shows that exact reference-default semantics (270 CG
-iterations per level, no early exit) bound one v5e chip to ~11-13 Mpix/s at
-realistic HBM efficiency (~19 absolute), i.e. the normalization sits above
-the physical ceiling of the exact algorithm; we keep it unchanged and
-report honest numbers rather than re-deriving a friendlier baseline.
+v5e-16 => ~14.7 Mpix/s/chip.  vs_baseline > 1 beats the target.
+
+Solver: the default is the PRODUCTION relaxer the BASELINE north star
+anticipates -- 30 sweeps of red-black SOR (omega=1.9) via the temporally
+blocked Pallas kernel (ops/pallas/sor.py), which runs S sweeps per HBM
+pass and therefore breaks the ~29.75-plane/iteration bandwidth floor that
+caps exact Jacobi-PCG at ~11-13 Mpix/s/chip (PROFILE_r03.md).  Accuracy
+evidence (PARITY.md, tools/tpu_checks.py check_sor_solver_epe): SOR-30
+matches the reference-exact PCG-30 flow to ~0.006 px mean / ~0.02 px p99
+EPE, scale-independent from 512^2 to 2712^2 -- two orders below the 0.1-px
+product budget.  Pass --solver pcg to measure the reference-exact path
+(identical math/stopping rule to oct_variational_optical_flow.cu:1100-1183).
 """
 
 import argparse
@@ -85,12 +91,12 @@ def steady_state_s(run_one, k=4, reps=3):
     return (t2 - t1) / k
 
 
-def bench_variational(h, w, kiters, k_chain=4):
+def bench_variational(h, w, kiters, k_chain=4, solver="sor"):
     from octane_tpu.config import OFConfig
     from octane_tpu.flow.variational import flow_program
 
     im1, im2 = synth_pair(h, w)
-    cfg = OFConfig(kiters=kiters, alpha=5.0, lambda_=1.0)
+    cfg = OFConfig(kiters=kiters, alpha=5.0, lambda_=1.0, solver=solver)
     program = flow_program(cfg, (h, w), 1)
     g1 = jnp.asarray(im1[None])
     g2 = jnp.asarray(im2[None])
@@ -104,7 +110,7 @@ def bench_variational(h, w, kiters, k_chain=4):
     return (h * w / 1e6) / dt
 
 
-def bench_hybrid(h, w, kiters):
+def bench_hybrid(h, w, kiters, solver="sor"):
     """Config 4 proxy: patch-match initialization + variational refinement
     at the largest single-chip shape (the 21696^2 original is multi-host)."""
     from octane_tpu.config import OFConfig
@@ -112,7 +118,7 @@ def bench_hybrid(h, w, kiters):
     from octane_tpu.flow.variational import flow_program
 
     im1, im2 = synth_pair(h, w)
-    cfg = OFConfig(kiters=kiters, alpha=5.0, lambda_=1.0)
+    cfg = OFConfig(kiters=kiters, alpha=5.0, lambda_=1.0, solver=solver)
     program = flow_program(cfg, (h, w), 1)
     g1 = jnp.asarray(im1[None])
     g2 = jnp.asarray(im2[None])
@@ -128,12 +134,13 @@ def bench_hybrid(h, w, kiters):
     return (h * w / 1e6) / dt
 
 
-def bench_sequence(h, w, nframes):
+def bench_sequence(h, w, nframes, solver="sor"):
     """Config 5: sequential pairs with first-guess warm starts."""
     from octane_tpu.config import OFConfig
     from octane_tpu.flow.variational import flow_program
 
-    cfg = OFConfig(kiters=3, alpha=5.0, lambda_=1.0, lambdac=0.05)
+    cfg = OFConfig(kiters=3, alpha=5.0, lambda_=1.0, lambdac=0.05,
+                   solver=solver)
     program = flow_program(cfg, (h, w), 1)
     frames = [jnp.asarray(synth_pair(h, w, seed=i)[0][None])
               for i in range(nframes)]
@@ -152,22 +159,25 @@ def bench_sequence(h, w, nframes):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", type=int, default=3, choices=range(1, 6))
+    ap.add_argument("--solver", default="sor", choices=("sor", "pcg"),
+                    help="production SOR (default) or reference-exact PCG")
     args = ap.parse_args()
+    s = args.solver
 
     if args.config == 1:
-        mpix_s = bench_variational(512, 512, kiters=3, k_chain=6)
+        mpix_s = bench_variational(512, 512, kiters=3, k_chain=6, solver=s)
         metric = "variational_flow_conus_crop_mpix_s"
     elif args.config == 2:
-        mpix_s = bench_variational(5008, 3008, kiters=5, k_chain=3)
+        mpix_s = bench_variational(5008, 3008, kiters=5, k_chain=3, solver=s)
         metric = "variational_flow_conus_band2_mpix_s"
     elif args.config == 3:
-        mpix_s = bench_variational(5424, 5424, kiters=4, k_chain=3)
+        mpix_s = bench_variational(5424, 5424, kiters=4, k_chain=3, solver=s)
         metric = "variational_flow_mpix_s"
     elif args.config == 4:
-        mpix_s = bench_hybrid(8192, 8192, kiters=4)
+        mpix_s = bench_hybrid(8192, 8192, kiters=4, solver=s)
         metric = "hybrid_flow_mpix_s"
     else:
-        mpix_s = bench_sequence(500, 500, nframes=12)
+        mpix_s = bench_sequence(500, 500, nframes=12, solver=s)
         metric = "sequence_flow_mpix_s"
 
     print(json.dumps({

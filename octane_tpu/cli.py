@@ -47,7 +47,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-lambdac", type=float, default=0.0)
     p.add_argument("-kiters", type=int, default=4)
     p.add_argument("-liters", type=int, default=3)
-    p.add_argument("-cgiters", type=int, default=30)
+    p.add_argument("-cgiters", type=int, default=30,
+                   help="max CG iterations / SOR sweeps")
+    p.add_argument("-solver", default="pcg", choices=("pcg", "sor"),
+                   help="pcg: reference-exact Jacobi-PCG (default); sor: "
+                        "production red-black SOR (temporally blocked "
+                        "Pallas kernel, ~3x faster, parity in PARITY.md)")
+    p.add_argument("-omega", type=float, default=1.9,
+                   help="SOR over-relaxation factor")
     p.add_argument("-brox", action="store_true", help="disable Zimmer normalization")
     p.add_argument("-firstguess", default=None)
     p.add_argument("-no_outnav", action="store_true")
@@ -96,6 +103,7 @@ def args_to_config(a: argparse.Namespace) -> OFConfig:
         out_nav=not a.no_outnav, out_raw=not a.no_outraw,
         out_rad=not a.no_outrad, out_ctp=not a.no_outctp,
         mesh_shape=mesh_shape,
+        solver=a.solver, sor_omega=a.omega,
     )
 
 

@@ -64,7 +64,12 @@ class OFConfig:
     mesh_shape: Tuple[int, int] = (1, 1)   # (rows, cols) spatial device mesh
     halo_warp: int = 16                    # warp-gather halo in sharded mode (px per side)
     use_pallas: bool = True                # enable Pallas kernels on TPU backends
-    solver: str = "pcg"                    # "pcg" | "sor" (red-black, shards better)
+    solver: str = "pcg"                    # "pcg" (reference-exact) | "sor"
+                                           # (red-black, temporally blocked
+                                           # Pallas kernel -- the production
+                                           # relaxer, ~3x faster; parity
+                                           # evidence in PARITY.md)
+    sor_omega: float = 1.9                 # SOR over-relaxation factor
 
     def __post_init__(self):
         if self.algorithm not in ("variational", "patch_match", "hybrid"):
@@ -73,6 +78,8 @@ class OFConfig:
             raise ValueError(f"unknown grid {self.grid!r}")
         if self.solver not in ("pcg", "sor"):
             raise ValueError(f"unknown solver {self.solver!r}")
+        if not (0.0 < self.sor_omega < 2.0):
+            raise ValueError("sor_omega must be in (0, 2)")
         if not (0.0 < self.scale_factor < 1.0):
             raise ValueError("scale_factor must be in (0, 1)")
         for name in ("kiters", "liters", "cgiters", "gnc_steps", "rad", "srad",

@@ -33,13 +33,14 @@ from octane_tpu.flow.cg import pcg_solve, sor_solve
 @functools.partial(
     jax.jit,
     static_argnames=("liters", "cgiters", "gnc_steps", "dozim", "solver",
-                     "warp_fn", "true_hw", "fused_cg", "cg_fn"),
+                     "warp_fn", "true_hw", "fused_cg", "cg_fn", "sor_omega"),
 )
 def solve_level(
     g1, g2, u, v, uhat, vhat,
     alpha, lam_over_alpha, lambdac, tol,
     liters: int, cgiters: int, gnc_steps: int, dozim: bool, solver: str = "pcg",
     warp_fn=None, true_hw=None, fused_cg: bool = False, cg_fn=None,
+    sor_omega: float = 1.9,
 ):
     """Run GNC x inner iterations at one pyramid level.
 
@@ -69,11 +70,17 @@ def solve_level(
                 dozim, warp_fn=warp_fn, stack=stack, al1_static=al1_s,
                 true_hw=true_hw,
             )
-            if solver == "sor":
-                du, dv = sor_solve(sys, tol, cgiters, true_hw=true_hw)
-            elif cg_fn is not None:
-                # mesh-sharded fused Pallas PCG (parallel.cg)
+            if cg_fn is not None:
+                # mesh-sharded fused Pallas solver (parallel.cg / parallel.sor)
                 du, dv = cg_fn(sys, tol, cgiters)
+            elif solver == "sor":
+                if fused_cg:
+                    from octane_tpu.ops.pallas.sor import sor_solve_fused
+                    du, dv = sor_solve_fused(sys, tol, cgiters,
+                                             omega=sor_omega)
+                else:
+                    du, dv = sor_solve(sys, tol, cgiters, omega=sor_omega,
+                                       true_hw=true_hw)
             elif fused_cg:
                 from octane_tpu.ops.pallas.cg import pcg_solve_fused
                 du, dv = pcg_solve_fused(sys, tol, cgiters)
@@ -142,12 +149,16 @@ def _coarse_to_fine(geo1, geo2, u0, v0, cfg: OFConfig, warp_fns=None,
             u = zoom_in_flow(u, (nyy, nxx), cfg.scale_factor, zi, zo)
             v = zoom_in_flow(v, (nyy, nxx), cfg.scale_factor, zi, zo)
 
-        # the fused Pallas CG runs single-device only (a pallas_call cannot
-        # be GSPMD-partitioned) and at the true dims
+        # the fused Pallas solvers run single-device only (a pallas_call
+        # cannot be GSPMD-partitioned) and at the true dims
         fused = False
-        if allow_fused and cfg.solver == "pcg" and cfg.use_pallas and not padded:
-            from octane_tpu.ops.pallas.cg import pallas_cg_available
-            fused = pallas_cg_available((nyy, nxx))
+        if allow_fused and cfg.use_pallas and not padded:
+            if cfg.solver == "pcg":
+                from octane_tpu.ops.pallas.cg import pallas_cg_available
+                fused = pallas_cg_available((nyy, nxx))
+            else:
+                from octane_tpu.ops.pallas.sor import pallas_sor_available
+                fused = pallas_sor_available((nyy, nxx))
         u, v = solve_level(
             g1, g2, u, v, uhat, vhat,
             jnp.float32(cfg.alpha), jnp.float32(cfg.lambda_over_alpha),
@@ -157,6 +168,7 @@ def _coarse_to_fine(geo1, geo2, u0, v0, cfg: OFConfig, warp_fns=None,
             true_hw=(tny, tnx) if padded else None,
             fused_cg=fused,
             cg_fn=cg_fns.get(k) if cg_fns else None,
+            sor_omega=cfg.sor_omega,
         )
         prev_true = (tny, tnx)
     return u, v
@@ -175,7 +187,7 @@ def flow_program(cfg: OFConfig, shape, nchan: int):
     """
     key = (shape, nchan, cfg.alpha, cfg.lambda_, cfg.lambdac, cfg.scale_factor,
            cfg.kiters, cfg.liters, cfg.cgiters, cfg.gnc_steps, cfg.dozim,
-           cfg.solver, cfg.cg_tol, cfg.use_pallas)
+           cfg.solver, cfg.sor_omega, cfg.cg_tol, cfg.use_pallas)
     if key in _program_cache:
         return _program_cache[key]
 

@@ -230,8 +230,8 @@ def sharded_flow_program(cfg: OFConfig, shape, nchan: int, mesh,
     ts = tuple(true_shape) if true_shape is not None else None
     key = (id(mesh), shape, ts, nchan, cfg.alpha, cfg.lambda_, cfg.lambdac,
            cfg.scale_factor, cfg.kiters, cfg.liters, cfg.cgiters,
-           cfg.gnc_steps, cfg.dozim, cfg.solver, cfg.cg_tol, cfg.halo_warp,
-           cfg.use_pallas)
+           cfg.gnc_steps, cfg.dozim, cfg.solver, cfg.sor_omega, cfg.cg_tol,
+           cfg.halo_warp, cfg.use_pallas)
     if key in _sharded_program_cache:
         return _sharded_program_cache[key]
 
@@ -249,12 +249,19 @@ def sharded_flow_program(cfg: OFConfig, shape, nchan: int, mesh,
                                    true_hw=lvl_true)
             if wf is not None:
                 warp_fns[k] = wf
-        if cfg.solver == "pcg" and cfg.use_pallas and ry * rx > 1:
-            from octane_tpu.parallel.cg import (
-                make_sharded_fused_cg, sharded_cg_available)
-            if sharded_cg_available((nyy, nxx), ry * rx):
-                cg_fns[k] = make_sharded_fused_cg(
-                    mesh, true_hw=lvl_true if ts is not None else None)
+        if cfg.use_pallas and ry * rx > 1:
+            lt = lvl_true if ts is not None else None
+            if cfg.solver == "pcg":
+                from octane_tpu.parallel.cg import (
+                    make_sharded_fused_cg, sharded_cg_available)
+                if sharded_cg_available((nyy, nxx), ry * rx):
+                    cg_fns[k] = make_sharded_fused_cg(mesh, true_hw=lt)
+            else:
+                from octane_tpu.parallel.sor import (
+                    make_sharded_fused_sor, sharded_sor_available)
+                if sharded_sor_available((nyy, nxx), ry * rx):
+                    cg_fns[k] = make_sharded_fused_sor(
+                        mesh, omega=cfg.sor_omega, true_hw=lt)
 
     fsh = flow_sharding(mesh)
     program = jax.jit(

@@ -17,19 +17,22 @@ from octane_tpu.parallel.mesh import make_mesh
 @pytest.fixture
 def interpret_pallas(monkeypatch):
     import octane_tpu.ops.pallas.cg as cgmod
+    import octane_tpu.ops.pallas.sor as sormod
     import octane_tpu.ops.pallas.warp as warpmod
     import octane_tpu.parallel.sharded as sh
 
     monkeypatch.setenv("OCTANE_PALLAS_INTERPRET", "1")
-    cgmod._build.cache_clear()
-    warpmod._build.cache_clear()
-    sh._warp_cache.clear()
-    sh._sharded_program_cache.clear()
+
+    def clear():
+        cgmod._build.cache_clear()
+        sormod._build.cache_clear()
+        warpmod._build.cache_clear()
+        sh._warp_cache.clear()
+        sh._sharded_program_cache.clear()
+
+    clear()
     yield
-    cgmod._build.cache_clear()
-    warpmod._build.cache_clear()
-    sh._warp_cache.clear()
-    sh._sharded_program_cache.clear()
+    clear()
 
 
 def _system(h, w, quad, seed=1):
@@ -65,6 +68,55 @@ def test_sharded_fused_cg_matches_pcg(interpret_pallas, quad):
     scale = float(jnp.abs(du).max())
     d = max(float(jnp.abs(fu - du).max()), float(jnp.abs(fv - dv).max()))
     assert d / scale < 1e-4, f"rel diff {d / scale:.2e} (quad={quad})"
+
+
+@pytest.mark.parametrize("quad", [True, False])
+@pytest.mark.parametrize("iters", [8, 13])
+def test_sharded_fused_sor_matches_xla_sor(interpret_pallas, quad, iters):
+    """The temporal blocking AND the band split are exact, and the psum'd
+    residual only gates the (never-binding) stopping rule -- so the sharded
+    multi-sweep kernel must be BIT-EXACT vs the single-device XLA sweep,
+    including the remainder pass (13 -> 8+5)."""
+    from octane_tpu.flow.cg import sor_solve
+    from octane_tpu.parallel.sor import (make_sharded_fused_sor,
+                                         sharded_sor_available)
+
+    mesh = make_mesh((2, 4))
+    h, w = 256, 256
+    assert sharded_sor_available((h, w), 8)
+    s = _system(h, w, quad)
+    du, dv = sor_solve(s, 1e-8, iters)
+    sor_fn = make_sharded_fused_sor(mesh)
+    fu, fv = jax.jit(lambda s, it=iters: sor_fn(s, jnp.float32(1e-8), it))(s)
+    np.testing.assert_array_equal(np.asarray(du), np.asarray(fu))
+    np.testing.assert_array_equal(np.asarray(dv), np.asarray(fv))
+
+
+def test_sharded_flow_solver_sor(interpret_pallas):
+    """End-to-end sharded program with solver='sor': the banded multi-sweep
+    kernel engages (cg_levels) and matches the single-device XLA-SOR
+    program."""
+    from octane_tpu.config import OFConfig
+    from octane_tpu.flow.variational import variational_flow
+    import octane_tpu.parallel.sharded as sh
+
+    mesh = make_mesh((2, 4))
+    h, w = 256, 256
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    im1 = (150 * np.exp(-(((xx - 100) ** 2 + (yy - 128) ** 2) / 600.0))
+           + 30 + 10 * np.sin(xx / 7.0)).astype(np.float32)[None]
+    im2 = (150 * np.exp(-(((xx - 103) ** 2 + (yy - 127) ** 2) / 600.0))
+           + 30 + 10 * np.sin((xx - 3) / 7.0)).astype(np.float32)[None]
+    z = np.zeros((h, w), np.float32)
+    cfg_x = OFConfig(kiters=1, cgiters=8, solver="sor", use_pallas=False)
+    want_u, want_v = variational_flow(im1, im2, z, z, cfg_x)
+    cfg_p = cfg_x.replace(use_pallas=True)
+    got_u, got_v = sh.sharded_variational_flow(im1, im2, z, z, cfg_p, mesh)
+    assert sh.last_program_info["cg_levels"] == frozenset({0})
+    scale = float(jnp.abs(want_u).max()) + 1e-6
+    d = max(float(jnp.abs(got_u - want_u).max()),
+            float(jnp.abs(got_v - want_v).max()))
+    assert d / scale < 1e-3, f"rel diff {d / scale:.2e}"
 
 
 def test_sharded_warp_pallas_matches_dense(interpret_pallas):

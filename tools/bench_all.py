@@ -26,20 +26,23 @@ def main():
 
     results = {}
     for c in args.configs:
-        t0 = time.time()
-        r = subprocess.run(
-            [sys.executable, os.path.join(REPO, "bench.py"), "--config",
-             str(c)],
-            capture_output=True, timeout=args.timeout, cwd=REPO, text=True)
-        line = [ln for ln in r.stdout.strip().splitlines()
-                if ln.startswith("{")]
-        entry = json.loads(line[-1]) if (r.returncode == 0 and line) else {
-            "error": (r.stderr or r.stdout)[-2000:]}
-        entry["wall_s"] = round(time.time() - t0, 1)
-        results[f"config{c}"] = entry
-        print(f"config {c}: {entry}", flush=True)
-        with open(args.out, "w") as f:
-            json.dump(results, f, indent=1)
+        for solver in ("sor", "pcg"):
+            t0 = time.time()
+            r = subprocess.run(
+                [sys.executable, os.path.join(REPO, "bench.py"), "--config",
+                 str(c), "--solver", solver],
+                capture_output=True, timeout=args.timeout, cwd=REPO,
+                text=True)
+            line = [ln for ln in r.stdout.strip().splitlines()
+                    if ln.startswith("{")]
+            entry = json.loads(line[-1]) if (r.returncode == 0 and line) else {
+                "error": (r.stderr or r.stdout)[-2000:]}
+            entry["wall_s"] = round(time.time() - t0, 1)
+            key = f"config{c}" if solver == "sor" else f"config{c}_pcg"
+            results[key] = entry
+            print(f"config {c} [{solver}]: {entry}", flush=True)
+            with open(args.out, "w") as f:
+                json.dump(results, f, indent=1)
     print(f"wrote {args.out}")
 
 
