@@ -177,6 +177,11 @@ def write_product(path: str, scene: Scene, cfg: OFConfig,
             ofv.attrs["L_Iterations"] = np.int32(cfg.liters)
             ofv.attrs["CG_Iterations"] = np.int32(cfg.cgiters)
             ofv.attrs["dofirstguess"] = np.int32(1 if cfg.do_firstguess else 0)
+            # extension beyond the reference schema: which relaxer produced
+            # the flow (provenance for the promoted production SOR path)
+            ofv.attrs["solver"] = cfg.solver
+            if cfg.solver == "sor":
+                ofv.attrs["sor_omega"] = np.float64(cfg.sor_omega)
         if cfg.oftype == 4:
             ofv.attrs["Rad"] = np.int32(cfg.rad)
             ofv.attrs["SRad"] = np.int32(cfg.srad)
