@@ -83,6 +83,25 @@ def pcg_solve(
     return out.xu, out.xv
 
 
+def sor_rdet(sys):
+    """Reciprocal determinant of the local 2x2 block (a1 a2; a2 a4).
+    The division is sweep-invariant, so it is hoisted out of the sweep
+    loop; shared by the XLA red-black sweep and the Pallas multi-sweep
+    kernel (which takes it as an input plane) so both paths see
+    bit-identical values.  The in-sweep update keeps the original
+    ``(a4*ru - a2*rv)`` numerator shape and only swaps the division for a
+    multiply -- the numerator's FMA-contraction pattern is unchanged, so
+    the two paths stay bit-identical sweep-for-sweep.
+
+    The products are pinned behind optimization barriers so the determinant
+    is bit-identical in EVERY compilation context (eager, jit, shard_map):
+    without them XLA may FMA-contract ``a1*a4 - a2*a2`` in one context and
+    not another, and a 1-ulp rdet difference walks through all sweeps."""
+    m1 = jax.lax.optimization_barrier(sys.a1 * sys.a4)
+    m2 = jax.lax.optimization_barrier(sys.a2 * sys.a2)
+    return jnp.float32(1.0) / (m1 - m2)
+
+
 def sor_solve(
     sys,
     tol: float,
@@ -108,14 +127,19 @@ def sor_solve(
     ii = jnp.arange(w)[None, :]
     red = ((ii + jj) % 2 == 0)
 
+    # Hoisted reciprocal determinant (see sor_rdet).
+    rdet = sor_rdet(sys)
+
     def colour_sweep(du, dv, mask):
         au, av = apply_stencil(sys, du, dv, true_hw=true_hw)
         # Solve the local 2x2 block (a1 a2; a2 a4) exactly for the residual.
         ru = sys.bu - au
         rv = sys.bv - av
-        det = sys.a1 * sys.a4 - sys.a2 * sys.a2
-        ndu = (sys.a4 * ru - sys.a2 * rv) / det
-        ndv = (sys.a1 * rv - sys.a2 * ru) / det
+        # pinned against FMA contraction; see ops.pallas.sor._colour_update
+        t1, t2, t3, t4 = jax.lax.optimization_barrier(
+            (sys.a4 * ru, sys.a2 * rv, sys.a1 * rv, sys.a2 * ru))
+        ndu = (t1 - t2) * rdet
+        ndv = (t3 - t4) * rdet
         du = jnp.where(mask, du + omega * ndu, du)
         dv = jnp.where(mask, dv + omega * ndv, dv)
         resid = default_dot(ru, ru) + default_dot(rv, rv)

@@ -49,11 +49,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _colour_update(x, cf, grow, gcol, mask, padpix, *, quad, omega,
+def _colour_update(x, cf, rdet, grow, gcol, mask, padpix, *, quad, omega,
                    true_h, true_w, want_residual):
     """One colour half-sweep on the full (2, R, w) frame ``x``.
 
-    ``cf`` is the coefficient frame [a1, a4, a2, bu, bv(, a5, a6, a7, a8)].
+    ``cf`` is the coefficient frame [a1, a4, a2, bu, bv(, a5, a6, a7, a8)];
+    ``rdet`` is the hoisted reciprocal block determinant (flow.cg.sor_rdet,
+    shipped in as a coefficient plane): the sweep-invariant divisions are
+    gone from the sweeps, replaced by one multiply, with the original
+    numerator shape kept for bit parity with flow.cg.sor_solve.
     Returns the updated frame (and the dense pre-update residual fields when
     ``want_residual``).
     """
@@ -89,10 +93,14 @@ def _colour_update(x, cf, grow, gcol, mask, padpix, *, quad, omega,
 
     ru = bu - (a1 * x[0:1] + a2 * x[1:2] + off_u)
     rv = bv - (a2 * x[0:1] + a4 * x[1:2] + off_v)
-    # division (not reciprocal-multiply): bit-matches flow.cg.sor_solve
-    det = a1 * a4 - a2 * a2
-    ndu = (a4 * ru - a2 * rv) / det
-    ndv = (a1 * rv - a2 * ru) / det
+    # the four products are pinned behind optimization barriers so the
+    # numerators cannot be FMA-contracted differently across compilation
+    # contexts (eager/jit/shard_map, XLA/Mosaic) -- flow.cg.sor_solve pins
+    # identically, keeping the two paths bit-exact sweep-for-sweep
+    t1, t2, t3, t4 = jax.lax.optimization_barrier(
+        (a4 * ru, a2 * rv, a1 * rv, a2 * ru))
+    ndu = (t1 - t2) * rdet
+    ndv = (t3 - t4) * rdet
     om = jnp.float32(omega)
     xu = jnp.where(mask, x[0:1] + om * ndu, x[0:1])
     xv = jnp.where(mask, x[1:2] + om * ndv, x[1:2])
@@ -129,6 +137,11 @@ def _kernel(row0_ref, x_n, x_b, x_s, cf_n, cf_b, cf_s,
     cfn, cfs = pick(cf_n, cf_s, gcf_n, gcf_s)
     x = jnp.concatenate([xn, x_b[...], xs], axis=1)
     cf = jnp.concatenate([cfn, cf_b[...], cfs], axis=1)
+    # hoisted reciprocal determinant: sweep-invariant, computed ONCE at
+    # the XLA level (flow.cg.sor_rdet) and shipped in as the last
+    # coefficient plane -- no divisions anywhere in the sweeps
+    base = 5 if quad else 9
+    rdet = cf[base:base + 1]
     g0 = row0_ref[0] + rb * bh - ho
     grow = g0 + lax.broadcasted_iota(jnp.int32, (1, R, 1), 1)
     gcol = row0_ref[1] + lax.broadcasted_iota(jnp.int32, (1, 1, w), 2)
@@ -136,16 +149,16 @@ def _kernel(row0_ref, x_n, x_b, x_s, cf_n, cf_b, cf_s,
     padpix = (grow >= true_h) | (gcol >= true_w)
 
     kw = dict(quad=quad, omega=omega, true_h=true_h, true_w=true_w)
-    x, ru, rv = _colour_update(x, cf, grow, gcol, red, padpix,
+    x, ru, rv = _colour_update(x, cf, rdet, grow, gcol, red, padpix,
                                want_residual=True, **kw)
     r2 = ru * ru + rv * rv
     res_ref[rb, 0] = jnp.sum(r2[:, ho:ho + bh], dtype=f32)
-    x = _colour_update(x, cf, grow, gcol, ~red, padpix,
+    x = _colour_update(x, cf, rdet, grow, gcol, ~red, padpix,
                        want_residual=False, **kw)
     for _ in range(nsweeps - 1):
-        x = _colour_update(x, cf, grow, gcol, red, padpix,
+        x = _colour_update(x, cf, rdet, grow, gcol, red, padpix,
                            want_residual=False, **kw)
-        x = _colour_update(x, cf, grow, gcol, ~red, padpix,
+        x = _colour_update(x, cf, rdet, grow, gcol, ~red, padpix,
                            want_residual=False, **kw)
     x_o[:] = x[:, ho:ho + bh]
 
@@ -154,7 +167,7 @@ def _pick_bh(w: int, quad: bool, ho: int) -> int:
     """Largest band height whose double-buffered streams plus the in-kernel
     frame temporaries fit in VMEM.  Larger bands amortize the 2*ho overlap
     rows (pure redundant compute), so prefer the biggest that fits."""
-    nc = 5 if quad else 9
+    nc = 6 if quad else 10
     for bh in (256, 128, 64, 32, 16):
         if bh % ho:
             continue
@@ -185,7 +198,7 @@ def _build(h, w, quad, nsweeps, omega, interpret=False,
     bh = _pick_bh(w, quad, ho)
     hp = -(-h // bh) * bh
     gh = hp // bh
-    nc = 5 if quad else 9
+    nc = 6 if quad else 10
     f32 = jnp.float32
 
     def body_spec(k):
@@ -250,6 +263,7 @@ def sor_solve_fused(sysm, tol, iters: int, omega: float = 1.9,
     the quadratic build); ``iters`` counts full red+black sweeps, executed
     in passes of up to 8 sweeps with the convergence check between passes.
     """
+    from octane_tpu.flow.cg import sor_rdet
     from octane_tpu.ops.pallas.warp import interpret_mode
 
     h, w = sysm.bu.shape
@@ -275,6 +289,10 @@ def sor_solve_fused(sysm, tol, iters: int, omega: float = 1.9,
     tails = [jnp.stack([sysm.a2, sysm.bu, sysm.bv])]
     if not quad:
         tails.append(jnp.stack([sysm.a5, sysm.a6, sysm.a7, sysm.a8]))
+    # sweep-invariant reciprocal determinant, hoisted to the XLA level
+    # (shared with flow.cg.sor_solve for bit parity); padded rows multiply
+    # by zero
+    tails.append(sor_rdet(sysm)[None])
     cf = jnp.concatenate([pad(planes[0], 1.0)] + [pad(t) for t in tails])
     zero2 = jnp.zeros((2, hp, w), f32)
     row0 = jnp.zeros((2,), jnp.int32)

@@ -60,7 +60,13 @@ def interpret_mode() -> bool:
     return os.environ.get("OCTANE_PALLAS_INTERPRET", "0") == "1"
 
 SRC_W = 384          # source window width (three 128-lane vregs)
-CPAD = 128           # left column padding (window origins are 128-aligned)
+# Left column padding.  NOT a multiple of 128 relative to nothing -- the
+# choice of 64 centres the window for near-zero flow: with the 128-aligned
+# window origin, a block's first lane index ci lands at 64 + u_min mod 128,
+# so for |u| < ~53 px the whole [ci, ci+127+spread+1] span stays below lane
+# 256 and the cheaper 2-third kernel variant dispatches (a CPAD of 128
+# would pin zero-flow spans exactly onto the 256 boundary).
+CPAD = 64
 BW = 128             # output block width (one vreg of lanes)
 DV = 19              # row window half-slack; 2*DV+2 rows per window, 8-aligned
 
@@ -68,7 +74,7 @@ DV = 19              # row window half-slack; 2*DV+2 rows per window, 8-aligned
 def _kernel(srow_ref, scol_ref, dlo_ref, dhi_ref, eflag_ref, f_hbm,
             u_ref, v_ref, o_ref, bx_ref, by_ref,
             src2, er_lo2, er_hi2, sem, sem_lo, sem_hi,
-            *, k, h, w, bh, dv, src_h, gw, nblk):
+            *, k, h, w, bh, dv, src_h, gw, nblk, nthirds):
     # h/w here are the FIELD true dims (== output dims unless the caller
     # samples a larger frame, e.g. a halo-padded shard block)
     rb = pl.program_id(0)
@@ -160,11 +166,18 @@ def _kernel(srow_ref, scol_ref, dlo_ref, dhi_ref, eflag_ref, f_hbm,
             jnp.clip(cip - 256, 0, 127), cip < 128, cip < 256)
 
     def lane_gather(rows, idx):
+        # nthirds == 2 statically drops the third 128-lane gather + select:
+        # with 128-aligned window origins the base lane span plus alignment
+        # remainder stays under 255 whenever the per-block u-spread is
+        # small (the common case); the host checks the real per-call bound
+        # and dispatches the 2-third variant when it holds.
         a, b_, c_, s0, s1 = idx
         g01 = jnp.where(s0, jnp.take_along_axis(rows[:, :128], a, axis=1),
                         jnp.take_along_axis(rows[:, 128:256], b_, axis=1))
+        if nthirds == 2:
+            return g01
         return jnp.where(s1, g01,
-                         jnp.take_along_axis(rows[:, 256:], c_, axis=1))
+                         jnp.take_along_axis(rows[:, 256:384], c_, axis=1))
 
     # Dynamic sublane offsets must be 8-aligned: iterate 8-aligned chunks of
     # the row window via a fori_loop over the block's live chunk range (one
@@ -183,7 +196,8 @@ def _kernel(srow_ref, scol_ref, dlo_ref, dhi_ref, eflag_ref, f_hbm,
         out = []
         for c in range(k):
             f_top, f_bot = acc[2 * c], acc[2 * c + 1]
-            blk = src[c, pl.ds(pl.multiple_of(q * 8, 8), bh + 8), :]
+            blk = src[c, pl.ds(pl.multiple_of(q * 8, 8), bh + 8),
+                      pl.ds(0, 128 * nthirds)]
             rows = jax.lax.slice_in_dim(blk, r, r + bh, axis=0)
             g1 = lane_gather(rows, idx0)
             g2 = lane_gather(rows, idx1)
@@ -300,48 +314,56 @@ def _build(k, h, w, dv, bh, hp, wp, fh=None, fw=None):
     # anywhere the clamp allows) and bottom slack; cols similarly
     rows_p = max(hp, fh) + 2 * bh + 2 * dv + 2
     cols_p = -(-(max(wp, fw) + CPAD) // 128) * 128 + SRC_W
-    kern = functools.partial(_kernel, k=k, h=fh, w=fw, bh=bh, dv=dv,
-                             src_h=src_h, gw=gw, nblk=gh * gw)
-    call = pl.pallas_call(
-        kern,
-        interpret=interpret_mode(),
-        # the double-buffered window scratch + gather relayouts exceed the
-        # default 16M scoped-vmem stack at bh=256
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=5,
-            grid=(gh, gw),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.HBM),       # padded fields, HBM
-                pl.BlockSpec((bh, BW), lambda r, c, *_: (r, c),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((bh, BW), lambda r, c, *_: (r, c),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=(
-                pl.BlockSpec((k, bh, BW), lambda r, c, *_: (0, r, c),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((bh, BW), lambda r, c, *_: (r, c),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((bh, BW), lambda r, c, *_: (r, c),
-                             memory_space=pltpu.VMEM),
+    def mkcall(nthirds):
+        kern = functools.partial(_kernel, k=k, h=fh, w=fw, bh=bh, dv=dv,
+                                 src_h=src_h, gw=gw, nblk=gh * gw,
+                                 nthirds=nthirds)
+        return pl.pallas_call(
+            kern,
+            interpret=interpret_mode(),
+            # the double-buffered window scratch + gather relayouts exceed
+            # the default 16M scoped-vmem stack at bh=256
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=5,
+                grid=(gh, gw),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.HBM),   # padded fields
+                    pl.BlockSpec((bh, BW), lambda r, c, *_: (r, c),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((bh, BW), lambda r, c, *_: (r, c),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=(
+                    pl.BlockSpec((k, bh, BW), lambda r, c, *_: (0, r, c),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((bh, BW), lambda r, c, *_: (r, c),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((bh, BW), lambda r, c, *_: (r, c),
+                                 memory_space=pltpu.VMEM),
+                ),
+                scratch_shapes=[
+                    pltpu.VMEM((2, k, src_h, SRC_W), jnp.float32),
+                    pltpu.VMEM((2, k, 8, SRC_W), jnp.float32),
+                    pltpu.VMEM((2, k, 8, SRC_W), jnp.float32),
+                    pltpu.SemaphoreType.DMA((2,)),
+                    pltpu.SemaphoreType.DMA((2,)),
+                    pltpu.SemaphoreType.DMA((2,)),
+                ],
             ),
-            scratch_shapes=[
-                pltpu.VMEM((2, k, src_h, SRC_W), jnp.float32),
-                pltpu.VMEM((2, k, 8, SRC_W), jnp.float32),
-                pltpu.VMEM((2, k, 8, SRC_W), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA((2,)),
-            ],
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((k, hp, wp), jnp.float32),
-            jax.ShapeDtypeStruct((hp, wp), jnp.bool_),
-            jax.ShapeDtypeStruct((hp, wp), jnp.bool_),
-        ),
-    )
+            out_shape=(
+                jax.ShapeDtypeStruct((k, hp, wp), jnp.float32),
+                jax.ShapeDtypeStruct((hp, wp), jnp.bool_),
+                jax.ShapeDtypeStruct((hp, wp), jnp.bool_),
+            ),
+        )
+
+    # two-thirds variant for the common small-u-spread case (the per-CALL
+    # dispatch below avoids the in-kernel per-block branch that measured
+    # 1.6x slower); the 3-third variant is the general fallback
+    call2 = mkcall(2)
+    call3 = mkcall(3)
 
     pad_rows = (bh, rows_p - fh - bh)
     pad_cols = (CPAD, cols_p - fw - CPAD)
@@ -366,14 +388,20 @@ def _build(k, h, w, dv, bh, hp, wp, fh=None, fw=None):
         # per-block window origins from the minimum TRUE-region sample index
         # (8-aligned rows / 128-aligned cols): the full 2*dv - 7 row slack is
         # available to the spread above the min
-        r_min, r_max, c_min, _, eflag = _block_stats(
+        r_min, r_max, c_min, c_max, eflag = _block_stats(
             jv1, iv1, vp, h, w, hp, wp, bh, fh)
         s_row = jnp.clip(r_min // 8 * 8, 0, rows_p - src_h).astype(jnp.int32)
         d_lo = jnp.clip(r_min - s_row, 0, 2 * dv).astype(jnp.int32)
         d_hi = jnp.clip(r_max - s_row, 0, 2 * dv).astype(jnp.int32)
         s_col = jnp.clip(c_min // 128 * 128,
                          0, cols_p - SRC_W).astype(jnp.int32)
-        s, bx, by = call(s_row, s_col, d_lo, d_hi, eflag, padded, up, vp)
+        # third 128-lane window third is touched only when some block's
+        # column index reaches lane 255 (idx1 = ci + 1 >= 256); dispatch
+        # the cheaper 2-third kernel when no block can
+        need3 = jnp.any(c_max - s_col >= 255)
+        ops = (s_row, s_col, d_lo, d_hi, eflag, padded, up, vp)
+        s, bx, by = jax.lax.cond(
+            need3, lambda o: call3(*o), lambda o: call2(*o), ops)
         return s[:, :h, :w], bx[:h, :w], by[:h, :w]
 
     run.pad = pad

@@ -58,7 +58,7 @@ def make_sharded_fused_sor(mesh, omega: float = 1.9, true_hw=None):
         h, w = sysm.bu.shape
         th, tw = (h, w) if true_hw is None else true_hw
         quad = jnp.ndim(sysm.a5) == 0
-        nc = 5 if quad else 9
+        nc = 6 if quad else 10
         f32 = jnp.float32
 
         s_main = min(8, iters)
@@ -87,11 +87,16 @@ def make_sharded_fused_sor(mesh, omega: float = 1.9, true_hw=None):
             planes.append(pad(jnp.stack(
                 [jnp.broadcast_to(x, (h, w)) for x in
                  (sysm.a5, sysm.a6, sysm.a7, sysm.a8)])))
+        # sweep-invariant reciprocal determinant, hoisted to the XLA
+        # level (shared with flow.cg.sor_solve for bit parity)
+        from octane_tpu.flow.cg import sor_rdet
+        planes.append(pad(sor_rdet(sysm)[None]))
         cf = jnp.concatenate(planes)
 
         # edge devices have no ppermute partner; ghost content only ever
-        # feeds the discarded overlap margin but must be finite and
-        # division-safe (det = a1*a4 - a2^2 = 1)
+        # feeds the discarded overlap margin but must be finite (a zero
+        # rdet plane makes the margin updates no-ops; a1 = a4 = 1 keeps
+        # the residual rows benign)
         safe_cf = jnp.zeros((nc, ho, w), f32).at[0:2].set(1.0)
 
         @functools.partial(

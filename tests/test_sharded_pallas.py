@@ -76,7 +76,10 @@ def test_sharded_fused_sor_matches_xla_sor(interpret_pallas, quad, iters):
     """The temporal blocking AND the band split are exact, and the psum'd
     residual only gates the (never-binding) stopping rule -- so the sharded
     multi-sweep kernel must be BIT-EXACT vs the single-device XLA sweep,
-    including the remainder pass (13 -> 8+5)."""
+    including the remainder pass (13 -> 8+5).  Both sides run under jit
+    (the production context): XLA's FMA-contraction choices differ between
+    eager and jit execution of the SAME code, so only like-context
+    comparisons are bit-meaningful."""
     from octane_tpu.flow.cg import sor_solve
     from octane_tpu.parallel.sor import (make_sharded_fused_sor,
                                          sharded_sor_available)
@@ -85,7 +88,7 @@ def test_sharded_fused_sor_matches_xla_sor(interpret_pallas, quad, iters):
     h, w = 256, 256
     assert sharded_sor_available((h, w), 8)
     s = _system(h, w, quad)
-    du, dv = sor_solve(s, 1e-8, iters)
+    du, dv = jax.jit(lambda s, it=iters: sor_solve(s, 1e-8, it))(s)
     sor_fn = make_sharded_fused_sor(mesh)
     fu, fv = jax.jit(lambda s, it=iters: sor_fn(s, jnp.float32(1e-8), it))(s)
     np.testing.assert_array_equal(np.asarray(du), np.asarray(fu))
