@@ -76,9 +76,7 @@ def read_scene(
     """
     _require_h5py()
     if cfg.grid != "goes":
-        if row_range is not None:
-            raise NotImplementedError("host-sharded ingest is GOES-only")
-        return _read_flat_grid(path, cfg, donav, scene)
+        return _read_flat_grid(path, cfg, donav, scene, row_range)
 
     with h5py.File(path, "r") as f:
         rad = f["Rad"]
@@ -220,7 +218,7 @@ def read_scene(
     return scene
 
 
-def _read_flat_grid(path, cfg, donav, scene):
+def _read_flat_grid(path, cfg, donav, scene, row_range=None):
     """Polar / mercator grid ingest (oct_polarread, oct_fileread.cc:421-610;
     oct_mercread, :611-754).
 
@@ -229,12 +227,22 @@ def _read_flat_grid(path, cfg, donav, scene):
     carrying lat1/lon0/R (polar, degrees) or lon1/R (mercator, degrees --
     converted to radians on ingest like oct_merc_navcal_cuda.cu:45), and "t"
     with a units attr.  Data passes through uncalibrated (ref polar :60).
+
+    ``row_range`` restricts ingest to a row block (host-sharded
+    multi-process ingest); nav keeps the global dims.
     """
     _require_h5py()
     with h5py.File(path, "r") as f:
-        data = np.asarray(f["Rad"][()], np.float32)
+        ds = f["Rad"]
+        h_full, w_full = ds.shape
         x = np.asarray(f["x"][()], np.int16)
         y = np.asarray(f["y"][()], np.int16)
+        if row_range is not None:
+            r0, r1 = row_range
+            data = np.asarray(ds[r0:r1, :], np.float32)
+            y = y[r0:r1]
+        else:
+            data = np.asarray(ds[()], np.float32)
         nav = NavConstants(grid=cfg.grid)
         nav.x_scale = float(_attr(f["x"], "scale_factor"))
         nav.x_offset = float(_attr(f["x"], "add_offset"))
@@ -247,7 +255,7 @@ def _read_flat_grid(path, cfg, donav, scene):
             nav.lon0_deg = float(_attr(gm, "lon0"))
         else:
             nav.lon1 = float(_attr(gm, "lon1")) * DTOR
-        nav.ny, nav.nx = data.shape
+        nav.ny, nav.nx = h_full, w_full
         nav.max_x, nav.max_y = nav.nx, nav.ny
         nav.max_xc, nav.max_yc = nav.nx, nav.ny
         t = float(_scalar(f["t"]))

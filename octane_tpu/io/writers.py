@@ -214,10 +214,10 @@ def _write_flat_product(path: str, scene: Scene, cfg: OFConfig,
             t.attrs["frdt"] = np.float32(scene.frdt)
 
         if scene.u_ms is not None:
-            _var2d(f, "U", np.asarray(scene.u_ms, np.float64), xd, yd,
+            _var2d(f, "U", _asarray(scene.u_ms, np.float64), xd, yd,
                    long_name="U", grid_mapping=gmap,
                    units="meters per second" if not cfg.pixuv else "x-pixels")
-            _var2d(f, "V", np.asarray(scene.v_ms, np.float64), xd, yd,
+            _var2d(f, "V", _asarray(scene.v_ms, np.float64), xd, yd,
                    long_name="V", grid_mapping=gmap,
                    units="meters per second" if not cfg.pixuv else "y-pixels")
         if scene.u_pix is not None and (cfg.pixuv or scene.u_ms is None):
@@ -232,7 +232,7 @@ def _write_flat_product(path: str, scene: Scene, cfg: OFConfig,
         if cfg.out_rad and scene.raw_counts is not None:
             names = ["Rad", "Rad2", "Rad3"]
             for c in range(scene.raw_counts.shape[0]):
-                _var2d(f, names[c], np.asarray(scene.raw_counts[c], np.float32),
+                _var2d(f, names[c], _asarray(scene.raw_counts[c], np.float32),
                        xd, yd, long_name=names[c], grid_mapping=gmap)
 
         gname = "polar_imager_projection" if polar else "merc_imager_projection"

@@ -10,7 +10,8 @@ full red+black sweeps per HBM streaming pass, so the coefficient planes
 (a1, a4, a2, rhs, and the four robust off-diagonals) are read once per S
 sweeps instead of once per sweep:
 
-    planes/sweep = (nc + 2 in + 2 out)/S  ~=  13/S  (robust), 9/S (quad)
+    planes/sweep = (nc + 2 in + 2 out)/S  ~=  14/S  (robust, nc=10 incl.
+    the hoisted rdet plane), 10/S (quad, nc=6)
 
 vs. the fused PCG's 29.75 planes per iteration.
 
@@ -93,14 +94,14 @@ def _colour_update(x, cf, rdet, grow, gcol, mask, padpix, *, quad, omega,
 
     ru = bu - (a1 * x[0:1] + a2 * x[1:2] + off_u)
     rv = bv - (a2 * x[0:1] + a4 * x[1:2] + off_v)
-    # the four products are pinned behind optimization barriers so the
-    # numerators cannot be FMA-contracted differently across compilation
-    # contexts (eager/jit/shard_map, XLA/Mosaic) -- flow.cg.sor_solve pins
-    # identically, keeping the two paths bit-exact sweep-for-sweep
-    t1, t2, t3, t4 = jax.lax.optimization_barrier(
-        (a4 * ru, a2 * rv, a1 * rv, a2 * ru))
-    ndu = (t1 - t2) * rdet
-    ndv = (t3 - t4) * rdet
+    # NOTE: no optimization_barrier here -- the primitive has no Mosaic
+    # (Pallas TPU) lowering rule, and Mosaic's FMA-contraction behavior is
+    # fixed per-kernel anyway, so plain products are already deterministic
+    # inside the kernel.  The XLA twin (flow.cg.sor_solve) pins ITS products
+    # so the two paths match; verified bit-exact on hardware
+    # (tools/tpu_checks.py check_sor).
+    ndu = (a4 * ru - a2 * rv) * rdet
+    ndv = (a1 * rv - a2 * ru) * rdet
     om = jnp.float32(omega)
     xu = jnp.where(mask, x[0:1] + om * ndu, x[0:1])
     xv = jnp.where(mask, x[1:2] + om * ndv, x[1:2])

@@ -169,7 +169,9 @@ def run_pipeline_distributed(file1: str, file2: str, cfg: OFConfig,
     """Multi-process pipeline: host-sharded ingest -> SPMD flow + winds ->
     parallel row-block product write.
 
-    Feature-complete vs the reference's main() (src/main.cc:398-480): CTH,
+    Feature-complete vs the reference's main() (src/main.cc:398-480): all
+    three grid types (GOES / polar / mercator, like the reference's
+    dispatcher oct_fileread.cc:871-895 + oct_filewrite.cc:707-715), CTH,
     first guess, channels 2/3 and temporal interpolation all run under
     -nprocs.  Every process hyperslab-reads its row block of every input
     (channel-2/3 and CTH regrids read margin-extended source hyperslabs --
@@ -189,8 +191,13 @@ def run_pipeline_distributed(file1: str, file2: str, cfg: OFConfig,
     from octane_tpu.parallel.post import sharded_pix2uv
     from octane_tpu.nav.winds import uv2pix
 
-    if cfg.grid != "goes":
-        raise NotImplementedError("distributed pipeline is GOES-only")
+    goes = cfg.grid == "goes"
+    if not goes and (cth_file is not None or channel2 is not None
+                     or channel3 is not None):
+        # the reference's flat-grid product schema has no CTP/Rad2/Rad3
+        # variables (oct_filewrite.cc:353-704), matching the single-process
+        # writer here -- reject rather than silently drop
+        raise ValueError("CTH / extra channels are GOES-grid products")
     mesh = distributed_mesh(cfg)
 
     # global grid dims from the file header (cheap, every process)
@@ -204,8 +211,12 @@ def run_pipeline_distributed(file1: str, file2: str, cfg: OFConfig,
 
     scene1 = read_scene(file1, cfg, donav=True, channel=1, row_range=(r0, r1))
     scene2 = read_scene(file2, cfg, donav=False, channel=1, row_range=(r0, r1))
-    scene1.nav.g2x_offset = scene2.nav.x_offset
-    scene1.nav.g2y_offset = scene2.nav.y_offset
+    if goes:
+        scene1.nav.g2x_offset = scene2.nav.x_offset
+        scene1.nav.g2y_offset = scene2.nav.y_offset
+    else:
+        scene1.nav.g2x_offset = scene1.nav.x_offset
+        scene1.nav.g2y_offset = scene1.nav.y_offset
     if cth_file is not None:
         cfg = cfg.replace(do_cth=True)
         read_cth(cth_file, scene1, cfg, row_range=(r0, r1))
@@ -234,6 +245,13 @@ def run_pipeline_distributed(file1: str, file2: str, cfg: OFConfig,
         first_guess=first_guess)
     uw, vw, ur, vr = sharded_pix2uv(u, v, scene1.nav, dt, mesh,
                                     grid=cfg.grid, pixuv=cfg.pixuv)
+    ums = vms = None
+    if not goes and not cfg.pixuv:
+        # flat-grid products keep full-precision winds (oct_polarwrite
+        # writes U/V as doubles, oct_filewrite.cc:401-402)
+        from octane_tpu.parallel.post import sharded_pix2uv_ms
+        ums, vms = sharded_pix2uv_ms(u, v, scene1.nav, dt, mesh,
+                                     grid=cfg.grid)
     if cfg.do_srsal and scene1.cth is not None:
         from octane_tpu.parallel.post import sharded_srsal
         cth_g = global_array_from_blocks(
@@ -256,14 +274,19 @@ def run_pipeline_distributed(file1: str, file2: str, cfg: OFConfig,
     fields = {
         "Upix": local_rows2d(us, r0, r1, np.float32),
         "Vpix": local_rows2d(vs, r0, r1, np.float32),
-        "U": local_rows2d(uw, r0, r1).astype(np.int16),
-        "V": local_rows2d(vw, r0, r1).astype(np.int16),
-        "U_raw": local_rows2d(ur, r0, r1).astype(np.int16),
-        "V_raw": local_rows2d(vr, r0, r1).astype(np.int16),
     }
+    if goes:
+        fields["U"] = local_rows2d(uw, r0, r1).astype(np.int16)
+        fields["V"] = local_rows2d(vw, r0, r1).astype(np.int16)
+        fields["U_raw"] = local_rows2d(ur, r0, r1).astype(np.int16)
+        fields["V_raw"] = local_rows2d(vr, r0, r1).astype(np.int16)
+    elif ums is not None:
+        fields["U_ms"] = local_rows2d(ums, r0, r1, np.float64)
+        fields["V_ms"] = local_rows2d(vms, r0, r1, np.float64)
     names = ["Rad", "Rad2", "Rad3"]
+    rad_dtype = np.int16 if goes else np.float32
     for c in range(scene1.raw_counts.shape[0]):
-        fields[names[c]] = np.asarray(scene1.raw_counts[c], np.int16)
+        fields[names[c]] = np.asarray(scene1.raw_counts[c], rad_dtype)
     if ctp_blk is not None:
         fields["CTP"] = ctp_blk
     _write_part(os.path.join(parts_dir, f"part{jax.process_index()}.h5"),
@@ -279,15 +302,20 @@ def run_pipeline_distributed(file1: str, file2: str, cfg: OFConfig,
                             [(k, fields[k].dtype) for k in fields])
         scene1.u_pix = src["Upix"]
         scene1.v_pix = src["Vpix"]
-        scene1.u_wind = src["U"]
-        scene1.v_wind = src["V"]
-        scene1.u_raw = src["U_raw"]
-        scene1.v_raw = src["V_raw"]
+        if goes:
+            scene1.u_wind = src["U"]
+            scene1.v_wind = src["V"]
+            scene1.u_raw = src["U_raw"]
+            scene1.v_raw = src["V_raw"]
+        elif "U_ms" in src:
+            scene1.u_ms = src["U_ms"]
+            scene1.v_ms = src["V_ms"]
         scene1.raw_counts = RowBlockStack(
             [src[names[c]] for c in range(scene1.raw_counts.shape[0])])
         if ctp_blk is not None:
             scene1.ctp = src["CTP"]
-        outname = os.path.join(outdir, "outfile.nc")
+        suffix = {"goes": "", "polar": "_polar", "mercator": "_merc"}[cfg.grid]
+        outname = os.path.join(outdir, f"outfile{suffix}.nc")
         written.append(write_product(outname, scene1, cfg, interp=False))
     multihost_utils.sync_global_devices("octane_write_done")
 
@@ -336,12 +364,14 @@ def _interpolate_sequence_distributed(scene1, scene2, u, v, hw, row_range,
         img, occ = sharded_interpolate_frame(u, v, im1, im2, frt, mesh,
                                              max_disp=max_disp)
         fields = {"Occlusion": local_rows2d(occ, r0, r1).astype(np.int16)}
+        rad_dtype = np.int16 if cfg.grid == "goes" else np.float32
         for c in range(nchan):
             vmin, vmax_n = scene1.norm_ranges[c]
             blk = local_rows2d(img[c], r0, r1, np.float32)
             fields[names[c]] = requantize(blk, vmin, vmax_n,
                                           scene1.nav.rad_scale[c],
-                                          scene1.nav.rad_offset[c])
+                                          scene1.nav.rad_offset[c]
+                                          ).astype(rad_dtype)
         part = os.path.join(parts_dir, f"f{idx}_part{jax.process_index()}.h5")
         _write_part(part, fields, r0, r1)
         multihost_utils.sync_global_devices(f"octane_interp_{idx}")
@@ -354,12 +384,16 @@ def _interpolate_sequence_distributed(scene1, scene2, u, v, hw, row_range,
             from octane_tpu.io.writers import RowBlockSource
             scene1.occlusion = RowBlockSource(parts, "Occlusion",
                                               (h, w), np.int16)
+            rad_dtype = np.int16 if cfg.grid == "goes" else np.float32
             scene1.raw_counts = RowBlockStack(
-                [RowBlockSource(parts, names[c], (h, w), np.int16)
+                [RowBlockSource(parts, names[c], (h, w), rad_dtype)
                  for c in range(nchan)])
             scene1.frdt = float(frt)
             scene1.t_interp = scene1.t + scene1.dt * frt
-            path = os.path.join(interp_dir, f"outfile_interp{idx}.nc")
+            suffix = {"goes": "", "polar": "_polar",
+                      "mercator": "_merc"}[cfg.grid]
+            path = os.path.join(interp_dir,
+                                f"outfile_interp{suffix}{idx}.nc")
             written.append(write_product(path, scene1, cfg, interp=True))
             scene1.raw_counts = saved_counts
         multihost_utils.sync_global_devices(f"octane_interp_done_{idx}")

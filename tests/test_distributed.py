@@ -136,6 +136,81 @@ def test_two_process_full_featured(tmp_path):
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize("grid", ["polar", "mercator"])
+def test_two_process_flat_grid_matches_single(tmp_path, grid):
+    """The distributed pipeline on polar/mercator grids (the reference's
+    other two grid types, oct_fileread.cc:871-895) must match the
+    single-host pipeline: hyperslab flat-grid ingest, SPMD solve,
+    full-precision U/V doubles merged from row-block parts."""
+    from tests.synth import make_flat_grid_file
+
+    h, w = 96, 128
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+
+    def blob(s):
+        return (200 + 55 * np.exp(-(((xx - s - w / 2) ** 2
+                                     + (yy - h / 2) ** 2) / (2 * 14.0 ** 2)))
+                + 20 * np.sin((xx - s) / 7.0) * np.cos(yy / 9.0))
+
+    # lat1=45 keeps the polar grid off the pole: AT the pole the E-W
+    # haversine is discontinuous in longitude, so the float-level flow
+    # drift between runs (cross-process CG psums) amplifies to full wind
+    # flips on a measure-zero pixel set -- projection geometry, not
+    # pipeline mechanics (V, which depends on smooth lat diffs, is exact)
+    f1 = make_flat_grid_file(str(tmp_path / "p1.nc"), blob(0.0), grid=grid,
+                             lat1=45.0)
+    f2 = make_flat_grid_file(str(tmp_path / "p2.nc"), blob(2.0), grid=grid,
+                             t=650000060.0, lat1=45.0)
+    gflag = "-Polar" if grid == "polar" else "-Merc"
+    port = _free_port()
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["JAX_COMPILATION_CACHE_DIR"] = os.path.join(REPO, ".jax_cache")
+    env["PYTHONPATH"] = REPO
+
+    multi_out = str(tmp_path / "multi")
+    procs = []
+    for pid in range(2):
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "octane_tpu.cli",
+             "-i1", f1, "-i2", f2, "-o", multi_out, gflag,
+             "-coordinator", f"127.0.0.1:{port}",
+             "-nprocs", "2", "-procid", str(pid)] + CLI_FLAGS,
+            env=env, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
+    outputs = [p.communicate(timeout=900)[0].decode() for p in procs]
+    for p, o in zip(procs, outputs):
+        assert p.returncode == 0, f"worker failed:\n{o[-4000:]}"
+
+    env1 = dict(env)
+    env1["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    single_out = str(tmp_path / "single")
+    r = subprocess.run(
+        [sys.executable, "-m", "octane_tpu.cli",
+         "-i1", f1, "-i2", f2, "-o", single_out, gflag] + CLI_FLAGS,
+        env=env1, cwd=REPO, capture_output=True, timeout=900)
+    assert r.returncode == 0, r.stderr.decode()[-4000:]
+
+    name = "outfile_polar.nc" if grid == "polar" else "outfile_merc.nc"
+    with h5py.File(os.path.join(multi_out, name)) as fm, \
+            h5py.File(os.path.join(single_out, name)) as fs:
+        np.testing.assert_array_equal(fm["Rad"][()], fs["Rad"][()])
+        proj = ("polar_imager_projection" if grid == "polar"
+                else "merc_imager_projection")
+        assert proj in fm
+        for var in ("U", "V"):
+            a = np.asarray(fm[var][()], np.float64)
+            b = np.asarray(fs[var][()], np.float64)
+            assert fm[var].dtype == np.float64      # flat grids keep doubles
+            # cross-process collectives reassociate the CG psums -> float
+            # drift on the winds (m/s); no short quantization to hide it
+            assert np.abs(a - b).max() < 0.05, var
+            assert np.abs(a - b).mean() < 0.005, var
+
+
+@pytest.mark.slow
 def test_two_process_product_matches_single(tmp_path):
     f1, f2 = _make_pair(tmp_path)
     port = _free_port()
