@@ -27,13 +27,19 @@ whole solve; this kernel restructures it for the VPU:
     window stats exclude them -- boundary clamping never costs exactness
     (columns are immune: their window is absolute over the lane base);
   * column sampling is a hardware lane gather (take_along_axis) over the
-    three aligned 128-lane thirds of the window, selected by index;
-  * row sampling is a select over the window's row slices; the host also
-    prefetches each block's [d_lo, d_hi] slice range and the kernel skips
-    whole 8-row chunks outside it (`lax.cond` lowers to a real branch in
-    Mosaic), so smooth flow touches only the 2-4 live row slices;
-  * column interpolation is folded in per row slice (p1*g1 + p2*g2 --
-    elementwise-identical to blending after selection).
+    aligned 128-lane thirds of the window, selected by index;
+  * row sampling is one branch-free masked pass per LIVE row slice: a
+    dynamic fori_loop over the host-prefetched per-block [d_lo, d_hi + 1]
+    range whose body aligns window row d with output row 0 by a dynamic
+    sublane roll, so smooth flow runs only its 2-4 live passes;
+  * column interpolation is folded in per row slice (p1*g1 + p2*g2) and
+    ROW interpolation is folded into the accumulation (slice d contributes
+    p3 where it is a pixel's top row, p4 where it is the bottom row), so
+    each field carries one accumulator;
+  * the kernel is built as a small variant lattice -- row-slack buckets
+    dv in {11, DV} x column windows {256, 384} -- dispatched per call from
+    the actual flow stats, because the window DMA is the dominant fixed
+    cost and smooth flow fits the small window (0.52x the traffic).
 
 Arbitrary shapes are supported by padding: the grid runs over
 (ceil(H/BH)*BH, ceil(W/128)*128) and the clamping math uses the TRUE H/W,
@@ -76,7 +82,11 @@ def _kernel(srow_ref, scol_ref, dlo_ref, dhi_ref, eflag_ref, f_hbm,
             src2, er_lo2, er_hi2, sem, sem_lo, sem_hi,
             *, k, h, w, bh, dv, src_h, gw, nblk, nthirds):
     # h/w here are the FIELD true dims (== output dims unless the caller
-    # samples a larger frame, e.g. a halo-padded shard block)
+    # samples a larger frame, e.g. a halo-padded shard block).  dv and
+    # nthirds are the row-slack / column-window buckets the host dispatched
+    # from the actual per-call flow stats, so smooth flow moves a
+    # (bh+24, 256) window instead of the worst-case (bh+40, 384).
+    win_w = 128 * nthirds
     rb = pl.program_id(0)
     cb = pl.program_id(1)
     two = jnp.int32(2)
@@ -85,26 +95,32 @@ def _kernel(srow_ref, scol_ref, dlo_ref, dhi_ref, eflag_ref, f_hbm,
     nxt = jax.lax.rem(lin + 1, two)
 
     def start_dma(buf, blk):
-        """Issue the three window DMAs for linear block ``blk`` into
-        double-buffer slot ``buf`` (data-driven origins from the prefetched
-        per-block stats)."""
+        """Issue the window DMAs for linear block ``blk`` into double-buffer
+        slot ``buf`` (data-driven origins from the prefetched per-block
+        stats).  The edge-row DMAs serve only boundary-clamped rows, so they
+        are gated on the block's eflag (interior blocks skip the traffic);
+        starts and waits are gated on the SAME per-block flag, keeping every
+        semaphore signal matched."""
         bi = blk // gw
         bj = jax.lax.rem(blk, jnp.int32(gw))
         s_row = pl.multiple_of(srow_ref[bi, bj], 8)
         s_col = pl.multiple_of(scol_ref[bi, bj], 128)
         pltpu.make_async_copy(
-            f_hbm.at[:, pl.ds(s_row, src_h), pl.ds(s_col, SRC_W)],
+            f_hbm.at[:, pl.ds(s_row, src_h), pl.ds(s_col, win_w)],
             src2.at[buf], sem.at[buf]).start()
+
         # edge rows 0 / fh-1 for boundary-clamped pixels: row-clamped
         # samples read exactly one of these two rows.  The host replicates
         # them 8x into the top padding band (padded rows [0, 8) / [8, 16))
         # so the DMA moves whole 8-row tiles.
-        pltpu.make_async_copy(
-            f_hbm.at[:, pl.ds(0, 8), pl.ds(s_col, SRC_W)],
-            er_lo2.at[buf], sem_lo.at[buf]).start()
-        pltpu.make_async_copy(
-            f_hbm.at[:, pl.ds(8, 8), pl.ds(s_col, SRC_W)],
-            er_hi2.at[buf], sem_hi.at[buf]).start()
+        @pl.when(eflag_ref[bi, bj] != 0)
+        def _():
+            pltpu.make_async_copy(
+                f_hbm.at[:, pl.ds(0, 8), pl.ds(s_col, win_w)],
+                er_lo2.at[buf], sem_lo.at[buf]).start()
+            pltpu.make_async_copy(
+                f_hbm.at[:, pl.ds(8, 8), pl.ds(s_col, win_w)],
+                er_hi2.at[buf], sem_hi.at[buf]).start()
 
     # software pipeline: block 0 starts its own window; every block then
     # prefetches block lin+1's window before computing on its own, hiding
@@ -144,19 +160,14 @@ def _kernel(srow_ref, scol_ref, dlo_ref, dhi_ref, eflag_ref, f_hbm,
     p4 = py - jv1.astype(jnp.float32)
 
     # window-local coordinates; spread overflow clamps to the window edge
-    ci = jnp.clip(iv1 + CPAD - s_col, 0, SRC_W - 2)
+    ci = jnp.clip(iv1 + CPAD - s_col, 0, win_w - 2)
     d2 = jnp.clip(jv1 + bh - s_row - lj, 0, 2 * dv)
 
-    # wait for THIS block's window (issued by the previous grid step)
+    # wait for THIS block's window (issued by the previous grid step); the
+    # edge-row waits live inside the eflag-gated edge path below
     pltpu.make_async_copy(
-        f_hbm.at[:, pl.ds(s_row, src_h), pl.ds(s_col, SRC_W)],
+        f_hbm.at[:, pl.ds(s_row, src_h), pl.ds(s_col, win_w)],
         src2.at[cur], sem.at[cur]).wait()
-    pltpu.make_async_copy(
-        f_hbm.at[:, pl.ds(0, 8), pl.ds(s_col, SRC_W)],
-        er_lo2.at[cur], sem_lo.at[cur]).wait()
-    pltpu.make_async_copy(
-        f_hbm.at[:, pl.ds(8, 8), pl.ds(s_col, SRC_W)],
-        er_hi2.at[cur], sem_hi.at[cur]).wait()
 
     # per-third lane-gather indices and the third-selection masks
     cip = ci + 1
@@ -179,49 +190,41 @@ def _kernel(srow_ref, scol_ref, dlo_ref, dhi_ref, eflag_ref, f_hbm,
         return jnp.where(s1, g01,
                          jnp.take_along_axis(rows[:, 256:384], c_, axis=1))
 
-    # Dynamic sublane offsets must be 8-aligned: iterate 8-aligned chunks of
-    # the row window via a fori_loop over the block's live chunk range (one
-    # compiled chunk body, dynamic trip count), and apply the 8 sub-shifts
-    # as static slices of the loaded chunk, each row individually guarded by
-    # the block's true [d_lo, d_hi + 1] slice range (host-prefetched):
-    # smooth-flow blocks process only the couple of row slices they need.
+    # One branch-free masked pass per LIVE row slice d in [d_lo, d_hi + 1]
+    # (host-prefetched per-block range): a dynamic fori_loop whose body
+    # aligns window row d with output row 0 by a dynamic sublane roll
+    # (rows[lj] = window[(lj + d) mod src_h] = window[lj + d]; in range
+    # because d + bh - 1 <= d_hi + 1 + bh - 1 <= src_h - 1).  This replaces
+    # the former 8-way unrolled lax.cond chain, whose per-slice cost
+    # measured ~3x a branch-free pass (tools/bench_warp_surgery.py).
+    #
+    # The row interpolation is FOLDED INTO the accumulation: slice d
+    # contributes w_d * cb where w_d = p3 for the pixels whose top row this
+    # is (d2 == d) and p4 for those whose bottom row it is (d2 == d - 1,
+    # disjoint), so each field carries ONE accumulator instead of a
+    # top/bottom pair -- half the loop-carried VMEM traffic.  Ascending d
+    # adds the p3 term first, then the p4 term: acc = fma(p4, cb_bot,
+    # round(p3 * cb_top)), the same values as the former two-select-
+    # then-blend form (bit-exactness asserted on hardware by check_warp).
     zero = jnp.zeros((bh, BW), jnp.float32)
     d_lo = dlo_ref[rb, cb]
     d_hi = dhi_ref[rb, cb]
+    f0 = jnp.float32(0.0)
 
-    def row_body(q, r, acc):
-        d = q * 8 + r
-        m_top = d2 == d      # this slice is row jv1 for these pixels
-        m_bot = d2 == d - 1  # and row jv1+1 for these
+    def slice_body(d, acc):
+        w_d = jnp.where(d2 == d, p3, jnp.where(d2 == d - 1, p4, f0))
         out = []
         for c in range(k):
-            f_top, f_bot = acc[2 * c], acc[2 * c + 1]
-            blk = src[c, pl.ds(pl.multiple_of(q * 8, 8), bh + 8),
-                      pl.ds(0, 128 * nthirds)]
-            rows = jax.lax.slice_in_dim(blk, r, r + bh, axis=0)
+            rows = pltpu.roll(src[c], src_h - d, 0)[:bh]
             g1 = lane_gather(rows, idx0)
             g2 = lane_gather(rows, idx1)
             cb_ = p1 * g1 + p2 * g2            # column interpolation
-            out.append(jnp.where(m_top, cb_, f_top))
-            out.append(jnp.where(m_bot, cb_, f_bot))
+            out.append(acc[c] + w_d * cb_)
         return out
 
-    def chunk(q, acc):
-        for r in range(8):
-            d = q * 8 + r
-            acc = jax.lax.cond(
-                (d >= d_lo) & (d <= d_hi + 1),
-                lambda a, r=r: row_body(q, r, a),
-                lambda a: a,
-                acc)
-        return acc
-
-    acc = [zero] * (2 * k)
-    q_lo = d_lo // 8
-    q_hi = (d_hi + 1) // 8 + 1
-    acc = jax.lax.fori_loop(q_lo, q_hi, chunk, acc)
+    acc = jax.lax.fori_loop(d_lo, d_hi + 2, slice_body, [zero] * k)
     for c in range(k):
-        o_ref[c] = p3 * acc[2 * c] + p4 * acc[2 * c + 1]
+        o_ref[c] = acc[c]
 
     # boundary-clamped rows: py < 0 samples row 0 with weight 1 (p4 == 0);
     # py >= h samples row h-1 (p3 == 0).  These pixels are excluded from the
@@ -230,6 +233,14 @@ def _kernel(srow_ref, scol_ref, dlo_ref, dhi_ref, eflag_ref, f_hbm,
     # for interior blocks (the common case).
     @pl.when(eflag_ref[rb, cb] != 0)
     def _edges():
+        # edge-row DMA waits: gated on the same eflag as their starts, so
+        # every semaphore signal stays matched
+        pltpu.make_async_copy(
+            f_hbm.at[:, pl.ds(0, 8), pl.ds(s_col, win_w)],
+            er_lo2.at[cur], sem_lo.at[cur]).wait()
+        pltpu.make_async_copy(
+            f_hbm.at[:, pl.ds(8, 8), pl.ds(s_col, win_w)],
+            er_hi2.at[cur], sem_hi.at[cur]).wait()
         py_raw = jj + v
         lo_m = py_raw < 0.0
         hi_m = py_raw >= h
@@ -305,17 +316,27 @@ def _build(k, h, w, dv, bh, hp, wp, fh=None, fw=None):
     """Kernel with OUTPUT true dims (h, w), grid over padded dims (hp, wp),
     sampling a field of true dims (fh, fw) -- equal to (h, w) unless the
     caller samples a larger frame (a halo-padded shard block), in which
-    case positions are expected pre-shifted into the field frame."""
+    case positions are expected pre-shifted into the field frame.
+
+    Builds a small lattice of kernel variants -- row-slack buckets
+    dv in {11, dv} x column-window buckets {2, 3} thirds -- and dispatches
+    per CALL on the actual flow stats: the window DMA is the kernel's
+    dominant fixed cost (tools/bench_warp_surgery.py), and smooth flow fits
+    the (bh+24, 256) window, 0.52x the worst case's traffic."""
     fh = h if fh is None else fh
     fw = w if fw is None else fw
-    src_h = bh + 2 * dv + 2
     gh, gw = hp // bh, wp // BW
+    dvs = sorted({min(11, dv), dv})
     # padded-array extents: rows get a bh top halo (so a window can start
-    # anywhere the clamp allows) and bottom slack; cols similarly
+    # anywhere the clamp allows) and bottom slack; cols similarly -- sized
+    # for the LARGEST variant so every bucket indexes safely
     rows_p = max(hp, fh) + 2 * bh + 2 * dv + 2
     cols_p = -(-(max(wp, fw) + CPAD) // 128) * 128 + SRC_W
-    def mkcall(nthirds):
-        kern = functools.partial(_kernel, k=k, h=fh, w=fw, bh=bh, dv=dv,
+
+    def mkcall(nthirds, dv_b):
+        src_h = bh + 2 * dv_b + 2
+        win_w = 128 * nthirds
+        kern = functools.partial(_kernel, k=k, h=fh, w=fw, bh=bh, dv=dv_b,
                                  src_h=src_h, gw=gw, nblk=gh * gw,
                                  nthirds=nthirds)
         return pl.pallas_call(
@@ -344,9 +365,9 @@ def _build(k, h, w, dv, bh, hp, wp, fh=None, fw=None):
                                  memory_space=pltpu.VMEM),
                 ),
                 scratch_shapes=[
-                    pltpu.VMEM((2, k, src_h, SRC_W), jnp.float32),
-                    pltpu.VMEM((2, k, 8, SRC_W), jnp.float32),
-                    pltpu.VMEM((2, k, 8, SRC_W), jnp.float32),
+                    pltpu.VMEM((2, k, src_h, win_w), jnp.float32),
+                    pltpu.VMEM((2, k, 8, win_w), jnp.float32),
+                    pltpu.VMEM((2, k, 8, win_w), jnp.float32),
                     pltpu.SemaphoreType.DMA((2,)),
                     pltpu.SemaphoreType.DMA((2,)),
                     pltpu.SemaphoreType.DMA((2,)),
@@ -359,11 +380,8 @@ def _build(k, h, w, dv, bh, hp, wp, fh=None, fw=None):
             ),
         )
 
-    # two-thirds variant for the common small-u-spread case (the per-CALL
-    # dispatch below avoids the in-kernel per-block branch that measured
-    # 1.6x slower); the 3-third variant is the general fallback
-    call2 = mkcall(2)
-    call3 = mkcall(3)
+    calls = {(nt, dv_b): mkcall(nt, dv_b)
+             for nt in (2, 3) for dv_b in dvs}
 
     pad_rows = (bh, rows_p - fh - bh)
     pad_cols = (CPAD, cols_p - fw - CPAD)
@@ -390,18 +408,48 @@ def _build(k, h, w, dv, bh, hp, wp, fh=None, fw=None):
         # available to the spread above the min
         r_min, r_max, c_min, c_max, eflag = _block_stats(
             jv1, iv1, vp, h, w, hp, wp, bh, fh)
-        s_row = jnp.clip(r_min // 8 * 8, 0, rows_p - src_h).astype(jnp.int32)
-        d_lo = jnp.clip(r_min - s_row, 0, 2 * dv).astype(jnp.int32)
-        d_hi = jnp.clip(r_max - s_row, 0, 2 * dv).astype(jnp.int32)
-        s_col = jnp.clip(c_min // 128 * 128,
-                         0, cols_p - SRC_W).astype(jnp.int32)
-        # third 128-lane window third is touched only when some block's
+
+        def row_args(dv_b):
+            src_h = bh + 2 * dv_b + 2
+            s_row = jnp.clip(r_min // 8 * 8,
+                             0, rows_p - src_h).astype(jnp.int32)
+            d_lo = jnp.clip(r_min - s_row, 0, 2 * dv_b).astype(jnp.int32)
+            d_hi = jnp.clip(r_max - s_row, 0, 2 * dv_b).astype(jnp.int32)
+            return s_row, d_lo, d_hi
+
+        def col_args(nthirds):
+            win_w = 128 * nthirds
+            return jnp.clip(c_min // 128 * 128,
+                            0, cols_p - win_w).astype(jnp.int32)
+
+        rows_by_dv = {dv_b: row_args(dv_b) for dv_b in dvs}
+        scol_by_nt = {nt: col_args(nt) for nt in (2, 3)}
+        # the third 128-lane window third is touched only when some block's
         # column index reaches lane 255 (idx1 = ci + 1 >= 256); dispatch
         # the cheaper 2-third kernel when no block can
-        need3 = jnp.any(c_max - s_col >= 255)
-        ops = (s_row, s_col, d_lo, d_hi, eflag, padded, up, vp)
-        s, bx, by = jax.lax.cond(
-            need3, lambda o: call3(*o), lambda o: call2(*o), ops)
+        need3 = jnp.any(c_max - scol_by_nt[2] >= 255)
+        # the small row bucket is valid when every block's slice range fits
+        # its window (d + bh rows; overflow beyond the LARGE bucket keeps
+        # the documented clamp-to-window-edge semantics)
+        if len(dvs) == 2:
+            s_row_lo = rows_by_dv[dvs[0]][0]
+            fits_lo = jnp.all(r_max - s_row_lo <= 2 * dvs[0] + 1)
+        else:
+            fits_lo = jnp.bool_(True)
+
+        def dispatch(nt):
+            def with_dv(dv_b):
+                s_row, d_lo, d_hi = rows_by_dv[dv_b]
+                return lambda: calls[(nt, dv_b)](
+                    s_row, scol_by_nt[nt], d_lo, d_hi, eflag,
+                    padded, up, vp)
+
+            if len(dvs) == 1:
+                return with_dv(dvs[0])()
+            return jax.lax.cond(fits_lo, with_dv(dvs[0]), with_dv(dvs[1]))
+
+        s, bx, by = jax.lax.cond(need3, lambda: dispatch(3),
+                                 lambda: dispatch(2))
         return s[:, :h, :w], bx[:h, :w], by[:h, :w]
 
     run.pad = pad
@@ -416,14 +464,13 @@ def _round_dv(dv: int) -> int:
 
 
 def _pick_bh(h: int, dv: int) -> int:
-    """Block height.  The kernel is LANE-GATHER bound, and each live row
-    slice gathers the full (bh, 128) block for every pixel before masking:
-    total gather work ~ sum over blocks of (per-block row spread + 2) * bh,
-    so SMALLER blocks win (the spread shrinks with the block) despite the
-    higher window-DMA overhead ceil(h/bh)*(bh + 2dv + 2).  Measured at
-    5424^2 (bench-like flow): bh 256/128/64/32/16 -> 53.9/48.9/41.8/39.6/
-    41.4 ms -- 32 is the sweet spot (PROFILE_r03.md)."""
-    return 32
+    """Block height.  With the branch-free roll-based slice loop and the
+    fused row-interpolation accumulator, per-slice cost is VMEM streaming of
+    the rolled window, so the trade is per-block fixed cost (window DMA +
+    index math; favours big blocks) vs per-block row spread (favours small).
+    Measured at 5424^2 (bench-like flow, PROFILE_r04.md):
+    bh 32/64/128 -> 19.7/18.2/18.3 ms -- 64 wins."""
+    return 64 if h >= 64 else 32
 
 
 def row_spread_within_reach(u, v, shape, max_disp_v: int = DV) -> bool:
