@@ -7,8 +7,8 @@ bytes.  Red-black SOR is that iteration -- BASELINE.json's north star
 anticipates exactly this ("distributed red-black SOR / Jacobi sweep") --
 because consecutive sweeps can be TEMPORALLY BLOCKED: this kernel runs S
 full red+black sweeps per HBM streaming pass, so the coefficient planes
-(a1, a4, a2, rhs, and the four robust off-diagonals) are read once per S
-sweeps instead of once per sweep:
+(a1, a4, a2, rhs, rdet, and the four robust off-diagonals) are read once
+per S sweeps instead of once per sweep:
 
     planes/sweep = (nc + 2 in + 2 out)/S  ~=  14/S  (robust, nc=10 incl.
     the hoisted rdet plane), 10/S (quad, nc=6)
@@ -25,6 +25,26 @@ wavefront), which is also what makes the scheme shard (the sharded driver
 can ppermute 2S-row ghost strips once per pass instead of 1-row halos
 every colour half-sweep).
 
+**Colour packing (round 4).**  The round-3 kernel computed every colour
+update DENSE and masked -- half the VPU lanes discarded per half-sweep --
+and was measured pure-compute-bound (~10x its BW floor).  Here each pass
+deinterleaves the streamed planes into DENSE half-width red/black planes
+(packed column p of colour c at row j holds original column
+``i = 2p + ((j + c) % 2)``) with in-VMEM lane gathers, runs the S sweeps
+on the packed planes, and re-interleaves the body rows on output.  Under
+this layout a cell's north/south neighbours (the other colour) sit at the
+SAME packed column and west/east become row-parity-selected unit shifts of
+the other colour's plane, so each half-sweep runs the same update
+arithmetic on half-width planes with zero masked-lane waste.  The
+(de)interleave costs ~2 gather-elements per element once per PASS --
+amortized over S sweeps -- while keeping the kernel's external interface
+and HBM layout plain unpacked planes (XLA-side strided repacking was
+measured 34 ms/solve at 5424^2, dwarfing the sweeps; in-kernel it is
+~1.6 ms/pass).  Values are IDENTICAL to the dense sweep -- packing
+permutes lanes; every update consumes the exact same operands -- so
+bit-exactness vs flow.cg.sor_solve is preserved (asserted on hardware by
+tools/tpu_checks.py check_sor).
+
 Update math matches flow.cg.sor_solve exactly: per colour, the residual
 r = b - A x under the mirror-at-1 boundary (oct_variational_optical_flow.cu:
 629-652, as core.bc.mirror_shift), then the exact 2x2 block solve
@@ -34,9 +54,10 @@ flow.cg.sor_solve tests -- evaluated once per PASS (every S sweeps) rather
 than every sweep; with the reference's 1e-8 absolute tolerance
 (oct_variational_optical_flow.cu:1353) the check never binds at product
 scales, and when it does bind the kernel stops within S sweeps of the XLA
-path.  Padding rows/cols (band alignment and the sharded path's
-mesh-divisibility padding) are decoupled identity equations and contribute
-exactly zero residual, mirroring flow.stencil._mask_padded.
+path.  Padding rows/cols (band alignment, lane-group alignment to 256,
+and the sharded path's mesh-divisibility padding) are decoupled identity
+equations and contribute exactly zero residual, mirroring
+flow.stencil._mask_padded.
 """
 
 from __future__ import annotations
@@ -50,17 +71,86 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _colour_update(x, cf, rdet, grow, gcol, mask, padpix, *, quad, omega,
-                   true_h, true_w, want_residual):
-    """One colour half-sweep on the full (2, R, w) frame ``x``.
+def _deinterleave(x):
+    """(M, R, W) -> even, odd (M, R, W/2): split lanes by parity with
+    per-128-lane-group hardware gathers (W a multiple of 256)."""
+    m, r, w = x.shape
+    g = w // 256
+    p = lax.broadcasted_iota(jnp.int32, (r, 128), 1)
+    lo = p < 64
+    ia = jnp.where(lo, 2 * p, 0)
+    ib = jnp.where(lo, 0, 2 * p - 128)
+    iap = jnp.where(lo, 2 * p + 1, 0)
+    ibp = jnp.where(lo, 0, 2 * p - 127)
+    ev, od = [], []
+    for c in range(m):
+        evg, odg = [], []
+        for k in range(g):
+            a = x[c, :, 256 * k:256 * k + 128]
+            b = x[c, :, 256 * k + 128:256 * k + 256]
+            evg.append(jnp.where(lo, jnp.take_along_axis(a, ia, axis=1),
+                                 jnp.take_along_axis(b, ib, axis=1)))
+            odg.append(jnp.where(lo, jnp.take_along_axis(a, iap, axis=1),
+                                 jnp.take_along_axis(b, ibp, axis=1)))
+        ev.append(jnp.concatenate(evg, axis=1))
+        od.append(jnp.concatenate(odg, axis=1))
+    return jnp.stack(ev), jnp.stack(od)
 
-    ``cf`` is the coefficient frame [a1, a4, a2, bu, bv(, a5, a6, a7, a8)];
-    ``rdet`` is the hoisted reciprocal block determinant (flow.cg.sor_rdet,
-    shipped in as a coefficient plane): the sweep-invariant divisions are
-    gone from the sweeps, replaced by one multiply, with the original
-    numerator shape kept for bit parity with flow.cg.sor_solve.
-    Returns the updated frame (and the dense pre-update residual fields when
-    ``want_residual``).
+
+def _interleave(ev, od):
+    """Inverse of _deinterleave: even, odd (M, R, WH) -> (M, R, 2*WH)."""
+    m, r, wh = ev.shape
+    g = wh // 128
+    q = lax.broadcasted_iota(jnp.int32, (r, 128), 1)
+    q_even = (q % 2) == 0
+    h0 = q // 2                                       # [0, 63]
+    h1 = h0 + 64                                      # [64, 127]
+    out = []
+    for c in range(m):
+        grps = []
+        for k in range(g):
+            e = ev[c, :, 128 * k:128 * k + 128]
+            o = od[c, :, 128 * k:128 * k + 128]
+            grps.append(jnp.where(q_even,
+                                  jnp.take_along_axis(e, h0, axis=1),
+                                  jnp.take_along_axis(o, h0, axis=1)))
+            grps.append(jnp.where(q_even,
+                                  jnp.take_along_axis(e, h1, axis=1),
+                                  jnp.take_along_axis(o, h1, axis=1)))
+        out.append(jnp.concatenate(grps, axis=1))
+    return jnp.stack(out)
+
+
+def _pack(x, jodd):
+    """(M, R, W) -> red, black (M, R, W/2) in the row-parity packing
+    ``packed[c][m, j, p] = x[m, j, 2p + ((j + c) % 2)]``."""
+    ev, od = _deinterleave(x)
+    red = jnp.where(jodd, od, ev)
+    black = jnp.where(jodd, ev, od)
+    return red, black
+
+
+def _unpack(red, black, jodd):
+    ev = jnp.where(jodd, black, red)
+    od = jnp.where(jodd, red, black)
+    return _interleave(ev, od)
+
+
+def _colour_update(xc, xo, cf, rdet, grow, par, pcol, padpix, *, colour,
+                   quad, omega, true_h, true_w, want_residual):
+    """One packed colour half-sweep: update colour ``colour`` (frame ``xc``,
+    (2, R, WH)) from the other colour ``xo``.
+
+    ``cf`` is this colour's coefficient frame [a1, a4, a2, bu, bv(, a5, a6,
+    a7, a8)]; ``rdet`` the hoisted reciprocal block determinant
+    (flow.cg.sor_rdet, shipped as a coefficient plane).  ``par`` is the
+    global row parity (1, R, 1); ``pcol`` the packed column index
+    (1, 1, WH); ``padpix`` marks cells outside the true grid.  Neighbour
+    geometry under the packing: north/south = row-rolls of ``xo`` at the
+    SAME packed column; west/east = parity-selected unit column shifts of
+    ``xo`` (this colour's cell i = 2p + ipar has west at other-colour
+    packed column p + ipar - 1 and east at p + ipar).  Returns the updated
+    frame (and the dense pre-update residuals when ``want_residual``).
     """
     a1 = cf[0:1]
     a4 = cf[1:2]
@@ -68,16 +158,26 @@ def _colour_update(x, cf, rdet, grow, gcol, mask, padpix, *, quad, omega,
     bu = cf[3:4]
     bv = cf[4:5]
 
-    nr = jnp.roll(x, 1, axis=1)          # row j <- row j-1 (north)
-    sr = jnp.roll(x, -1, axis=1)         # row j <- row j+1 (south)
+    ipar = (par + colour) % 2            # i = 2p + ipar
+    gcol = 2 * pcol + ipar
+
+    nr = jnp.roll(xo, 1, axis=1)          # row j <- row j-1 (north)
+    sr = jnp.roll(xo, -1, axis=1)         # row j <- row j+1 (south)
     # mirror-at-1 at the TRUE grid edges (garbage wraparound rows live only
     # in the discarded overlap margin)
     nn = jnp.where(grow == 0, sr, nr)
     ss = jnp.where(grow == true_h - 1, nr, sr)
-    wv = jnp.roll(x, 1, axis=2)
-    ev = jnp.roll(x, -1, axis=2)
-    wv = jnp.where(gcol == 0, x[:, :, 1:2], wv)
-    ev = jnp.where(gcol == true_w - 1, x[:, :, true_w - 2:true_w - 1], ev)
+
+    west_shift = jnp.roll(xo, 1, axis=2)      # q = p - 1
+    east_shift = jnp.roll(xo, -1, axis=2)     # q = p + 1
+    ipar_b = ipar == 1
+    wv = jnp.where(ipar_b, xo, west_shift)
+    ev = jnp.where(ipar_b, east_shift, xo)
+    # column mirrors at the TRUE edges: west of i=0 := x[i=1] (other colour
+    # q=0); east of i=true_w-1 := x[i=true_w-2] (other colour, static q)
+    qe = (true_w - 2 - (true_w % 2)) // 2
+    wv = jnp.where(gcol == 0, xo[:, :, 0:1], wv)
+    ev = jnp.where(gcol == true_w - 1, xo[:, :, qe:qe + 1], ev)
 
     if quad:
         # scalar -1 off-diagonals (quadratic GNC step); padded pixels stay
@@ -92,8 +192,8 @@ def _colour_update(x, cf, rdet, grow, gcol, mask, padpix, *, quad, omega,
         off_u = a5 * wv[0:1] + a7 * ev[0:1] + a6 * nn[0:1] + a8 * ss[0:1]
         off_v = a5 * wv[1:2] + a7 * ev[1:2] + a6 * nn[1:2] + a8 * ss[1:2]
 
-    ru = bu - (a1 * x[0:1] + a2 * x[1:2] + off_u)
-    rv = bv - (a2 * x[0:1] + a4 * x[1:2] + off_v)
+    ru = bu - (a1 * xc[0:1] + a2 * xc[1:2] + off_u)
+    rv = bv - (a2 * xc[0:1] + a4 * xc[1:2] + off_v)
     # NOTE: no optimization_barrier here -- the primitive has no Mosaic
     # (Pallas TPU) lowering rule, and Mosaic's FMA-contraction behavior is
     # fixed per-kernel anyway, so plain products are already deterministic
@@ -103,9 +203,7 @@ def _colour_update(x, cf, rdet, grow, gcol, mask, padpix, *, quad, omega,
     ndu = (a4 * ru - a2 * rv) * rdet
     ndv = (a1 * rv - a2 * ru) * rdet
     om = jnp.float32(omega)
-    xu = jnp.where(mask, x[0:1] + om * ndu, x[0:1])
-    xv = jnp.where(mask, x[1:2] + om * ndv, x[1:2])
-    out = jnp.concatenate([xu, xv], axis=0)
+    out = jnp.concatenate([xc[0:1] + om * ndu, xc[1:2] + om * ndv], axis=0)
     if want_residual:
         return out, ru, rv
     return out
@@ -124,11 +222,13 @@ def _kernel(row0_ref, x_n, x_b, x_s, cf_n, cf_b, cf_s,
     what the clipped halo index maps deliver, so the selects are no-ops).
     The first red half-sweep's pre-update residual over the BODY rows is
     emitted for the stopping rule (bands partition the grid, so the
-    XLA-side sum is the global ||b - A x||^2 of the incoming iterate).
+    XLA-side sum is the global ||b - A x||^2 of the incoming iterate;
+    packing drops no cells, so the packed sum equals the dense sum).
     """
     rb = pl.program_id(0)
     f32 = jnp.float32
     R = bh + 2 * ho
+    wh = w // 2
 
     def pick(n_blk, s_blk, gn, gs):
         return (jnp.where(rb == 0, gn[...], n_blk[...]),
@@ -138,43 +238,54 @@ def _kernel(row0_ref, x_n, x_b, x_s, cf_n, cf_b, cf_s,
     cfn, cfs = pick(cf_n, cf_s, gcf_n, gcf_s)
     x = jnp.concatenate([xn, x_b[...], xs], axis=1)
     cf = jnp.concatenate([cfn, cf_b[...], cfs], axis=1)
+
+    g0 = row0_ref[0] + rb * bh - ho
+    grow = g0 + lax.broadcasted_iota(jnp.int32, (1, R, 1), 1)
+    par = grow % 2
+    jodd = par == 1
+    pcol = lax.broadcasted_iota(jnp.int32, (1, 1, wh), 2)
+    pad_r = (grow >= true_h) | (2 * pcol + par >= true_w)
+    pad_b = (grow >= true_h) | (2 * pcol + (1 - par) >= true_w)
+
+    # deinterleave the streamed planes into dense packed halves (amortized
+    # over the S sweeps below)
+    xr, xb = _pack(x, jodd)
+    cfr, cfb = _pack(cf, jodd)
     # hoisted reciprocal determinant: sweep-invariant, computed ONCE at
     # the XLA level (flow.cg.sor_rdet) and shipped in as the last
     # coefficient plane -- no divisions anywhere in the sweeps
     base = 5 if quad else 9
-    rdet = cf[base:base + 1]
-    g0 = row0_ref[0] + rb * bh - ho
-    grow = g0 + lax.broadcasted_iota(jnp.int32, (1, R, 1), 1)
-    gcol = row0_ref[1] + lax.broadcasted_iota(jnp.int32, (1, 1, w), 2)
-    red = ((grow + gcol) % 2) == 0
-    padpix = (grow >= true_h) | (gcol >= true_w)
+    rdet_r = cfr[base:base + 1]
+    rdet_b = cfb[base:base + 1]
 
     kw = dict(quad=quad, omega=omega, true_h=true_h, true_w=true_w)
-    x, ru, rv = _colour_update(x, cf, rdet, grow, gcol, red, padpix,
-                               want_residual=True, **kw)
+    xr, ru, rv = _colour_update(xr, xb, cfr, rdet_r, grow, par, pcol, pad_r,
+                                colour=0, want_residual=True, **kw)
     r2 = ru * ru + rv * rv
     res_ref[rb, 0] = jnp.sum(r2[:, ho:ho + bh], dtype=f32)
-    x = _colour_update(x, cf, rdet, grow, gcol, ~red, padpix,
-                       want_residual=False, **kw)
+    xb = _colour_update(xb, xr, cfb, rdet_b, grow, par, pcol, pad_b,
+                        colour=1, want_residual=False, **kw)
     for _ in range(nsweeps - 1):
-        x = _colour_update(x, cf, rdet, grow, gcol, red, padpix,
-                           want_residual=False, **kw)
-        x = _colour_update(x, cf, rdet, grow, gcol, ~red, padpix,
-                           want_residual=False, **kw)
-    x_o[:] = x[:, ho:ho + bh]
+        xr = _colour_update(xr, xb, cfr, rdet_r, grow, par, pcol, pad_r,
+                            colour=0, want_residual=False, **kw)
+        xb = _colour_update(xb, xr, cfb, rdet_b, grow, par, pcol, pad_b,
+                            colour=1, want_residual=False, **kw)
+    x = _unpack(xr[:, ho:ho + bh], xb[:, ho:ho + bh], jodd[:, ho:ho + bh])
+    x_o[:] = x
 
 
 def _pick_bh(w: int, quad: bool, ho: int) -> int:
     """Largest band height whose double-buffered streams plus the in-kernel
-    frame temporaries fit in VMEM.  Larger bands amortize the 2*ho overlap
-    rows (pure redundant compute), so prefer the biggest that fits."""
+    frame temporaries (x/cf frames, their packed halves and the sweep
+    temporaries) fit in VMEM.  Larger bands amortize the 2*ho overlap rows
+    (pure redundant compute), so prefer the biggest that fits."""
     nc = 6 if quad else 10
     for bh in (256, 128, 64, 32, 16):
         if bh % ho:
             continue
         frame = bh + 2 * ho
         streams = 2 * ((2 + nc) * frame + 2 * bh)     # double-buffered in+out
-        temps = (2 + nc + 10) * frame                 # x/cf frames + sweeps
+        temps = (2 * (2 + nc) + 10) * frame           # frames + packed + swp
         if (streams + temps) * w * 4 <= 100 * 1024 * 1024:
             return bh
     return 16
@@ -185,12 +296,14 @@ def _build(h, w, quad, nsweeps, omega, interpret=False,
            true_h=None, true_w=None, ho=None):
     """Build the S-sweep pass kernel for an (h, w) local block.
 
-    ``h`` must be a multiple of the chosen band height (the caller pads);
-    ``true_h``/``true_w`` are the GLOBAL true dims for the mirror/identity
-    fixups.  ``ho`` (overlap rows per side, >= 2*nsweeps, multiple of 8)
-    may be forced so a remainder-pass kernel keeps the main kernel's ghost
-    strip width on the sharded path.
+    ``h`` must be a multiple of the chosen band height and ``w`` a multiple
+    of 256 (the caller pads; lane-group alignment for the in-kernel
+    deinterleave); ``true_h``/``true_w`` are the GLOBAL true dims for the
+    mirror/identity fixups.  ``ho`` (overlap rows per side, >= 2*nsweeps,
+    multiple of 8) may be forced so a remainder-pass kernel keeps the main
+    kernel's ghost strip width on the sharded path.
     """
+    assert w % 256 == 0
     true_h = h if true_h is None else true_h
     true_w = w if true_w is None else true_w
     if ho is None:
@@ -256,6 +369,29 @@ def _build(h, w, quad, nsweeps, omega, interpret=False,
     return call_wrapped, hp, bh, ho
 
 
+def build_cf(sysm, hp, wp, quad):
+    """Assemble the (nc, hp, wp) coefficient stack with ONE materialized
+    copy (sequential in-place dynamic-update-slices) instead of the
+    stack/pad/concat chain, which XLA materializes ~3x (measured 8 ms at
+    5424^2).  Padding rows/cols get identity equations (a1 = a4 = 1,
+    everything else incl. rdet = 0 -> zero residual, no-op updates)."""
+    from octane_tpu.flow.cg import sor_rdet
+
+    f32 = jnp.float32
+    h, w = sysm.bu.shape
+    nc = 6 if quad else 10
+    cf = jnp.zeros((nc, hp, wp), f32)
+    cf = cf.at[0:2].set(1.0)
+    planes = [sysm.a1, sysm.a4, sysm.a2, sysm.bu, sysm.bv]
+    if not quad:
+        planes += [jnp.broadcast_to(x, (h, w)) for x in
+                   (sysm.a5, sysm.a6, sysm.a7, sysm.a8)]
+    planes.append(sor_rdet(sysm))
+    for m, p in enumerate(planes):
+        cf = cf.at[m, :h, :w].set(p)
+    return cf
+
+
 def sor_solve_fused(sysm, tol, iters: int, omega: float = 1.9,
                     interpret: bool = False):
     """Drop-in for flow.cg.sor_solve on TPU (single-device path).
@@ -264,38 +400,26 @@ def sor_solve_fused(sysm, tol, iters: int, omega: float = 1.9,
     the quadratic build); ``iters`` counts full red+black sweeps, executed
     in passes of up to 8 sweeps with the convergence check between passes.
     """
-    from octane_tpu.flow.cg import sor_rdet
     from octane_tpu.ops.pallas.warp import interpret_mode
 
     h, w = sysm.bu.shape
     quad = jnp.ndim(sysm.a5) == 0
     interp = interpret or interpret_mode()
     f32 = jnp.float32
+    wp = -(-w // 256) * 256
 
     s_main = min(8, iters)
     n_main, s_rem = divmod(iters, s_main)
-    call_m, hp, _, ho = _build(h, w, bool(quad), s_main, float(omega),
-                               interp)
+    call_m, hp, _, ho = _build(h, wp, bool(quad), s_main, float(omega),
+                               interp, true_h=h, true_w=w)
     call_r = None
     if s_rem:
-        call_r, hp_r, _, _ = _build(h, w, bool(quad), s_rem, float(omega),
-                                    interp, ho=ho)
+        call_r, hp_r, _, _ = _build(h, wp, bool(quad), s_rem, float(omega),
+                                    interp, true_h=h, true_w=w, ho=ho)
         assert hp_r == hp
 
-    def pad(a, val=0.0):
-        return jnp.pad(a, ((0, 0), (0, hp - h), (0, 0)),
-                       constant_values=f32(val))
-
-    planes = [jnp.stack([sysm.a1, sysm.a4])]
-    tails = [jnp.stack([sysm.a2, sysm.bu, sysm.bv])]
-    if not quad:
-        tails.append(jnp.stack([sysm.a5, sysm.a6, sysm.a7, sysm.a8]))
-    # sweep-invariant reciprocal determinant, hoisted to the XLA level
-    # (shared with flow.cg.sor_solve for bit parity); padded rows multiply
-    # by zero
-    tails.append(sor_rdet(sysm)[None])
-    cf = jnp.concatenate([pad(planes[0], 1.0)] + [pad(t) for t in tails])
-    zero2 = jnp.zeros((2, hp, w), f32)
+    cf = build_cf(sysm, hp, wp, quad)
+    zero2 = jnp.zeros((2, hp, wp), f32)
     row0 = jnp.zeros((2,), jnp.int32)
     resid0 = (jnp.sum(sysm.bu * sysm.bu, dtype=f32)
               + jnp.sum(sysm.bv * sysm.bv, dtype=f32))
@@ -316,7 +440,7 @@ def sor_solve_fused(sysm, tol, iters: int, omega: float = 1.9,
     if call_r is not None:
         xr, _ = run(call_r, x)
         x = jnp.where(resid > tol, xr, x)
-    return x[0, :h], x[1, :h]
+    return x[0, :h, :w], x[1, :h, :w]
 
 
 def pallas_sor_available(shape) -> bool:

@@ -60,44 +60,34 @@ def make_sharded_fused_sor(mesh, omega: float = 1.9, true_hw=None):
         quad = jnp.ndim(sysm.a5) == 0
         nc = 6 if quad else 10
         f32 = jnp.float32
+        wp = -(-w // 256) * 256       # lane-group alignment (in-kernel pack)
 
         s_main = min(8, iters)
         n_main, s_rem = divmod(iters, s_main)
         ho = 8 if s_main <= 4 else 16
-        bh = psor._pick_bh(w, quad, ho)
+        bh = psor._pick_bh(wp, quad, ho)
         hl = -(-h // (n * bh)) * bh
         h2 = hl * n
         call_m, hp_l, bh_l, ho_l = psor._build(
-            hl, w, quad, s_main, float(omega), interp, true_h=th, true_w=tw,
-            ho=ho)
+            hl, wp, quad, s_main, float(omega), interp, true_h=th,
+            true_w=tw, ho=ho)
         assert hp_l == hl and bh_l == bh and ho_l == ho
         call_r = None
         if s_rem:
             call_r, _, _, _ = psor._build(
-                hl, w, quad, s_rem, float(omega), interp, true_h=th,
+                hl, wp, quad, s_rem, float(omega), interp, true_h=th,
                 true_w=tw, ho=ho)
 
-        def pad(a, val=0.0):
-            return jnp.pad(a, ((0, 0), (0, h2 - h), (0, 0)),
-                           constant_values=f32(val))
-
-        planes = [pad(jnp.stack([sysm.a1, sysm.a4]), 1.0),
-                  pad(jnp.stack([sysm.a2, sysm.bu, sysm.bv]))]
-        if not quad:
-            planes.append(pad(jnp.stack(
-                [jnp.broadcast_to(x, (h, w)) for x in
-                 (sysm.a5, sysm.a6, sysm.a7, sysm.a8)])))
-        # sweep-invariant reciprocal determinant, hoisted to the XLA
-        # level (shared with flow.cg.sor_solve for bit parity)
-        from octane_tpu.flow.cg import sor_rdet
-        planes.append(pad(sor_rdet(sysm)[None]))
-        cf = jnp.concatenate(planes)
+        # one-copy coefficient stack (rows pad to h2 = n * hl, cols to wp;
+        # band boundaries are multiples of bh (even), so global row parity
+        # is preserved across devices)
+        cf = psor.build_cf(sysm, h2, wp, quad)
 
         # edge devices have no ppermute partner; ghost content only ever
         # feeds the discarded overlap margin but must be finite (a zero
         # rdet plane makes the margin updates no-ops; a1 = a4 = 1 keeps
         # the residual rows benign)
-        safe_cf = jnp.zeros((nc, ho, w), f32).at[0:2].set(1.0)
+        safe_cf = jnp.zeros((nc, ho, wp), f32).at[0:2].set(1.0)
 
         @functools.partial(
             jax.shard_map, mesh=mesh2,
@@ -118,7 +108,7 @@ def make_sharded_fused_sor(mesh, omega: float = 1.9, true_hw=None):
             resid0 = lax.psum(
                 jnp.sum(bu_l * bu_l, dtype=f32)
                 + jnp.sum(bv_l * bv_l, dtype=f32), "band")
-            zero2 = jnp.zeros((2, hl, w), f32)
+            zero2 = jnp.zeros((2, hl, wp), f32)
 
             def run(call, x):
                 gx_n = lax.ppermute(x[:, hl - ho:], "band", fwd)
@@ -142,6 +132,6 @@ def make_sharded_fused_sor(mesh, omega: float = 1.9, true_hw=None):
             return x
 
         x = solve(cf)
-        return x[0, :h], x[1, :h]
+        return x[0, :h, :w], x[1, :h, :w]
 
     return sor_fn
