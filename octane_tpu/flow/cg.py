@@ -87,16 +87,19 @@ def sor_rdet(sys):
     """Reciprocal determinant of the local 2x2 block (a1 a2; a2 a4).
     The division is sweep-invariant, so it is hoisted out of the sweep
     loop; shared by the XLA red-black sweep and the Pallas multi-sweep
-    kernel (which takes it as an input plane) so both paths see
-    bit-identical values.  The in-sweep update keeps the original
-    ``(a4*ru - a2*rv)`` numerator shape and only swaps the division for a
-    multiply -- the numerator's FMA-contraction pattern is unchanged, so
-    the two paths stay bit-identical sweep-for-sweep.
+    kernel (which takes it as an input plane) so both paths consume the
+    same plane when composed in one program.
 
-    The products are pinned behind optimization barriers so the determinant
-    is bit-identical in EVERY compilation context (eager, jit, shard_map):
-    without them XLA may FMA-contract ``a1*a4 - a2*a2`` in one context and
-    not another, and a 1-ulp rdet difference walks through all sweeps."""
+    The ``optimization_barrier`` wrappers DISCOURAGE (but cannot
+    guarantee: XLA deletes the barrier late in its pipeline -- the
+    optimized HLO of both the CPU and TPU backends contains zero
+    ``opt-barrier`` ops -- so codegen-level FMA contraction can still
+    differ between separately compiled programs) context-dependent
+    contraction of ``a1*a4 - a2*a2``.  Bit-exactness claims between the
+    XLA sweep and the Pallas kernel are therefore NOT made across
+    separately compiled programs; see ops.pallas.sor for the exactness
+    contract that IS made (same-executable blocking invariance) and the
+    ulp-bounded cross-program relationship."""
     m1 = jax.lax.optimization_barrier(sys.a1 * sys.a4)
     m2 = jax.lax.optimization_barrier(sys.a2 * sys.a2)
     return jnp.float32(1.0) / (m1 - m2)
@@ -135,7 +138,8 @@ def sor_solve(
         # Solve the local 2x2 block (a1 a2; a2 a4) exactly for the residual.
         ru = sys.bu - au
         rv = sys.bv - av
-        # pinned against FMA contraction; see ops.pallas.sor._colour_update
+        # barrier-wrapped products: best-effort contraction pinning only
+        # (XLA deletes the barrier late; see sor_rdet's docstring)
         t1, t2, t3, t4 = jax.lax.optimization_barrier(
             (sys.a4 * ru, sys.a2 * rv, sys.a1 * rv, sys.a2 * ru))
         ndu = (t1 - t2) * rdet

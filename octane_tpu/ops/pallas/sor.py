@@ -40,21 +40,47 @@ arithmetic on half-width planes with zero masked-lane waste.  The
 amortized over S sweeps -- while keeping the kernel's external interface
 and HBM layout plain unpacked planes (XLA-side strided repacking was
 measured 34 ms/solve at 5424^2, dwarfing the sweeps; in-kernel it is
-~1.6 ms/pass).  Values are IDENTICAL to the dense sweep -- packing
-permutes lanes; every update consumes the exact same operands -- so
-bit-exactness vs flow.cg.sor_solve is preserved (asserted on hardware by
-tools/tpu_checks.py check_sor).
+~1.6 ms/pass).  Packing permutes lanes; every update consumes the exact
+same operands as the dense sweep, in the same written order.
+
+**Exactness contract (round 5).**  Two tiers, after an investigation that
+showed the stronger claim is unobtainable:
+
+* SAME-EXECUTABLE invariance, asserted bitwise
+  (tests/test_sor_kernel.py): the dynamic sweep count means one compiled
+  kernel serves every pass, so temporal blocking, band decomposition,
+  pass hand-off (unpack -> HBM -> repack) and the conditional remainder
+  pass are bit-exact BY CONSTRUCTION -- run(x, a+b) == run(run(x, a), b)
+  for any split, and the result is independent of the band layout.
+* CROSS-PROGRAM agreement with the XLA sweep (flow.cg.sor_solve),
+  asserted to a few ulps per sweep: true bitwise equality between
+  SEPARATELY COMPILED programs is not an achievable contract on XLA --
+  ``optimization_barrier`` is deleted late in the pipeline (the optimized
+  HLO of both the CPU and TPU backends contains zero ``opt-barrier``
+  ops), so codegen-level FMA contraction varies with the surrounding
+  program (measured: identical sweep arithmetic compiled at different
+  unroll depths diverged at ~1 ulp/sweep; no XLA flag --
+  xla_allow_excess_precision, xla_cpu_enable_fast_math -- restores it).
+  The observed drift is ~1e-7 relative per sweep and does not accumulate
+  (the SOR contraction damps it); product-level parity is covered by the
+  golden fixtures and PARITY.md.  tools/tpu_checks.py check_sor reports
+  the on-chip kernel-vs-twin delta every round (historically exactly 0 on
+  Mosaic-vs-XLA:TPU -- an empirical observation, not a contract).
 
 Update math matches flow.cg.sor_solve exactly: per colour, the residual
 r = b - A x under the mirror-at-1 boundary (oct_variational_optical_flow.cu:
 629-652, as core.bc.mirror_shift), then the exact 2x2 block solve
-(a1 a2; a2 a4) and an omega-damped update.  The stopping rule reuses the
-first red half-sweep's pre-update residual -- the same quantity
-flow.cg.sor_solve tests -- evaluated once per PASS (every S sweeps) rather
-than every sweep; with the reference's 1e-8 absolute tolerance
-(oct_variational_optical_flow.cu:1353) the check never binds at product
-scales, and when it does bind the kernel stops within S sweeps of the XLA
-path.  Padding rows/cols (band alignment, lane-group alignment to 256,
+(a1 a2; a2 a4) and an omega-damped update.  The sweep loop is a dynamic
+``fori_loop`` whose trip count arrives in the scalar-prefetch vector, so
+ONE kernel build serves the 8-sweep main passes and any remainder pass and
+every sweep executes the same compiled arithmetic (see ``_kernel``).  The
+stopping rule evaluates the FULL-GRID pre-update residual ||b - A x||^2 of
+the pass's incoming iterate -- the same quantity flow.cg.sor_solve tests
+-- once per PASS (every S sweeps) rather than every sweep; with the
+reference's 1e-8 absolute tolerance (oct_variational_optical_flow.cu:1353)
+the check never binds at product scales, and when it does bind the kernel
+stops within S sweeps of the XLA path and skips the remainder pass
+entirely.  Padding rows/cols (band alignment, lane-group alignment to 256,
 and the sharded path's mesh-divisibility padding) are decoupled identity
 equations and contribute exactly zero residual, mirroring
 flow.stencil._mask_padded.
@@ -136,21 +162,20 @@ def _unpack(red, black, jodd):
     return _interleave(ev, od)
 
 
-def _colour_update(xc, xo, cf, rdet, grow, par, pcol, padpix, *, colour,
-                   quad, omega, true_h, true_w, want_residual):
-    """One packed colour half-sweep: update colour ``colour`` (frame ``xc``,
-    (2, R, WH)) from the other colour ``xo``.
+def _colour_residual(xc, xo, cf, grow, par, pcol, padpix, *, colour,
+                     quad, true_h, true_w):
+    """Pre-update residual r = b - A x of colour ``colour``'s rows (frame
+    ``xc``, (2, R, WH)) at the current iterate, with the other colour's
+    frame ``xo`` supplying the off-diagonal neighbours.
 
     ``cf`` is this colour's coefficient frame [a1, a4, a2, bu, bv(, a5, a6,
-    a7, a8)]; ``rdet`` the hoisted reciprocal block determinant
-    (flow.cg.sor_rdet, shipped as a coefficient plane).  ``par`` is the
-    global row parity (1, R, 1); ``pcol`` the packed column index
-    (1, 1, WH); ``padpix`` marks cells outside the true grid.  Neighbour
-    geometry under the packing: north/south = row-rolls of ``xo`` at the
-    SAME packed column; west/east = parity-selected unit column shifts of
-    ``xo`` (this colour's cell i = 2p + ipar has west at other-colour
-    packed column p + ipar - 1 and east at p + ipar).  Returns the updated
-    frame (and the dense pre-update residuals when ``want_residual``).
+    a7, a8)].  ``par`` is the global row parity (1, R, 1); ``pcol`` the
+    packed column index (1, 1, WH); ``padpix`` marks cells outside the true
+    grid.  Neighbour geometry under the packing: north/south = row-rolls of
+    ``xo`` at the SAME packed column; west/east = parity-selected unit
+    column shifts of ``xo`` (this colour's cell i = 2p + ipar has west at
+    other-colour packed column p + ipar - 1 and east at p + ipar).
+    Same residual math and operand order as flow.cg.sor_solve's sweep.
     """
     a1 = cf[0:1]
     a4 = cf[1:2]
@@ -194,41 +219,69 @@ def _colour_update(xc, xo, cf, rdet, grow, par, pcol, padpix, *, colour,
 
     ru = bu - (a1 * xc[0:1] + a2 * xc[1:2] + off_u)
     rv = bv - (a2 * xc[0:1] + a4 * xc[1:2] + off_v)
-    # NOTE: no optimization_barrier here -- the primitive has no Mosaic
-    # (Pallas TPU) lowering rule, and Mosaic's FMA-contraction behavior is
-    # fixed per-kernel anyway, so plain products are already deterministic
-    # inside the kernel.  The XLA twin (flow.cg.sor_solve) pins ITS products
-    # so the two paths match; verified bit-exact on hardware
-    # (tools/tpu_checks.py check_sor).
+    return ru, rv
+
+
+def _colour_update(xc, xo, cf, rdet, grow, par, pcol, padpix, *, colour,
+                   quad, omega, true_h, true_w):
+    """One packed colour half-sweep: update colour ``colour`` from the
+    other colour ``xo`` (see ``_colour_residual`` for the frame layout).
+
+    ``rdet`` is the hoisted reciprocal block determinant (flow.cg.sor_rdet,
+    shipped as a coefficient plane); the 2x2 block (a1 a2; a2 a4) is solved
+    exactly for the residual and applied with omega damping.  Same update
+    math as flow.cg.sor_solve's colour sweep, written in the same operand
+    order; cross-program agreement is ulp-bounded, not bitwise (see the
+    module docstring).
+    """
+    a1 = cf[0:1]
+    a4 = cf[1:2]
+    a2 = cf[2:3]
+    ru, rv = _colour_residual(xc, xo, cf, grow, par, pcol, padpix,
+                              colour=colour, quad=quad,
+                              true_h=true_h, true_w=true_w)
     ndu = (a4 * ru - a2 * rv) * rdet
     ndv = (a1 * rv - a2 * ru) * rdet
     om = jnp.float32(omega)
-    out = jnp.concatenate([xc[0:1] + om * ndu, xc[1:2] + om * ndv], axis=0)
-    if want_residual:
-        return out, ru, rv
-    return out
+    return jnp.concatenate([xc[0:1] + om * ndu, xc[1:2] + om * ndv], axis=0)
 
 
-def _kernel(row0_ref, x_n, x_b, x_s, cf_n, cf_b, cf_s,
+def _kernel(sc_ref, x_n, x_b, x_s, cf_n, cf_b, cf_s,
             gx_n, gx_s, gcf_n, gcf_s, x_o, res_ref, *,
-            bh, ho, w, true_h, true_w, quad, omega, nsweeps, gh):
-    """S red+black sweeps on one band; body rows come out globally exact.
+            bh, ho, w, true_h, true_w, quad, omega, gh):
+    """ns red+black sweeps on one band; body rows come out globally exact.
 
-    ``row0_ref`` holds (global row of local row 0, global col of local col
-    0) -- nonzero on the sharded path.  ``gx_*``/``gcf_*`` are ho-row ghost
-    strips replacing the (self-clamped) halo blocks at the device-boundary
-    bands; the mesh driver ppermutes them from the neighbour devices, and
-    single-device callers pass the array's own edge blocks (identical to
-    what the clipped halo index maps deliver, so the selects are no-ops).
-    The first red half-sweep's pre-update residual over the BODY rows is
-    emitted for the stopping rule (bands partition the grid, so the
-    XLA-side sum is the global ||b - A x||^2 of the incoming iterate;
-    packing drops no cells, so the packed sum equals the dense sum).
+    ``sc_ref`` holds (global row of local row 0, global col of local col 0,
+    ns) -- the row/col origins are nonzero on the sharded path, and ``ns``
+    is the RUNTIME sweep count of this pass (1 <= ns <= ho // 2).  The
+    sweep loop is a dynamic ``fori_loop`` over ONE compiled body rather
+    than a Python unroll: a single kernel build serves both the 8-sweep
+    main passes and any remainder pass, and -- critically -- every sweep of
+    every pass executes the SAME compiled arithmetic, so the iterate path
+    cannot drift with the sweep count (an earlier unrolled variant was
+    observed to FMA-contract differently at different unroll depths under
+    XLA:CPU interpret mode, breaking the bit-exactness contract for
+    iteration counts that needed a second kernel build).
+
+    ``gx_*``/``gcf_*`` are ho-row ghost strips replacing the (self-clamped)
+    halo blocks at the device-boundary bands; the mesh driver ppermutes
+    them from the neighbour devices, and single-device callers pass the
+    array's own edge blocks (identical to what the clipped halo index maps
+    deliver, so the selects are no-ops).  The FULL-GRID pre-update residual
+    ||b - A x||^2 of the pass's incoming iterate over the BODY rows -- red
+    rows from the first red half-sweep, black rows from a dedicated
+    residual evaluation at the same iterate, exactly the quantity
+    flow.cg.sor_solve's stopping rule tests -- is emitted once per pass;
+    the extra black evaluation lives in a first-iteration branch that only
+    feeds the emitted scalar, so it cannot perturb the iterate path.
+    (Bands partition the grid, so the XLA-side sum over bands is the global
+    residual; packing drops no cells.)
     """
     rb = pl.program_id(0)
     f32 = jnp.float32
     R = bh + 2 * ho
     wh = w // 2
+    ns = sc_ref[2]
 
     def pick(n_blk, s_blk, gn, gs):
         return (jnp.where(rb == 0, gn[...], n_blk[...]),
@@ -239,7 +292,7 @@ def _kernel(row0_ref, x_n, x_b, x_s, cf_n, cf_b, cf_s,
     x = jnp.concatenate([xn, x_b[...], xs], axis=1)
     cf = jnp.concatenate([cfn, cf_b[...], cfs], axis=1)
 
-    g0 = row0_ref[0] + rb * bh - ho
+    g0 = sc_ref[0] + rb * bh - ho
     grow = g0 + lax.broadcasted_iota(jnp.int32, (1, R, 1), 1)
     par = grow % 2
     jodd = par == 1
@@ -248,7 +301,7 @@ def _kernel(row0_ref, x_n, x_b, x_s, cf_n, cf_b, cf_s,
     pad_b = (grow >= true_h) | (2 * pcol + (1 - par) >= true_w)
 
     # deinterleave the streamed planes into dense packed halves (amortized
-    # over the S sweeps below)
+    # over the ns sweeps below)
     xr, xb = _pack(x, jodd)
     cfr, cfb = _pack(cf, jodd)
     # hoisted reciprocal determinant: sweep-invariant, computed ONCE at
@@ -258,18 +311,33 @@ def _kernel(row0_ref, x_n, x_b, x_s, cf_n, cf_b, cf_s,
     rdet_r = cfr[base:base + 1]
     rdet_b = cfb[base:base + 1]
 
-    kw = dict(quad=quad, omega=omega, true_h=true_h, true_w=true_w)
-    xr, ru, rv = _colour_update(xr, xb, cfr, rdet_r, grow, par, pcol, pad_r,
-                                colour=0, want_residual=True, **kw)
-    r2 = ru * ru + rv * rv
-    res_ref[rb, 0] = jnp.sum(r2[:, ho:ho + bh], dtype=f32)
-    xb = _colour_update(xb, xr, cfb, rdet_b, grow, par, pcol, pad_b,
-                        colour=1, want_residual=False, **kw)
-    for _ in range(nsweeps - 1):
+    rkw = dict(quad=quad, true_h=true_h, true_w=true_w)
+    kw = dict(omega=omega, **rkw)
+
+    def sweep(i, carry):
+        xr, xb, res = carry
+
+        # stopping-rule residual of the pass's INCOMING iterate (sweep 0
+        # only): both colours' r = b - A x at the same iterate, summed over
+        # the body rows.  Isolated in a branch that feeds only the scalar.
+        def first_res():
+            ru, rv = _colour_residual(xr, xb, cfr, grow, par, pcol, pad_r,
+                                      colour=0, **rkw)
+            rub, rvb = _colour_residual(xb, xr, cfb, grow, par, pcol, pad_b,
+                                        colour=1, **rkw)
+            r2 = (ru * ru + rv * rv)[:, ho:ho + bh]
+            r2b = (rub * rub + rvb * rvb)[:, ho:ho + bh]
+            return jnp.sum(r2, dtype=f32) + jnp.sum(r2b, dtype=f32)
+
+        res = lax.cond(i == 0, first_res, lambda: res)
         xr = _colour_update(xr, xb, cfr, rdet_r, grow, par, pcol, pad_r,
-                            colour=0, want_residual=False, **kw)
+                            colour=0, **kw)
         xb = _colour_update(xb, xr, cfb, rdet_b, grow, par, pcol, pad_b,
-                            colour=1, want_residual=False, **kw)
+                            colour=1, **kw)
+        return xr, xb, res
+
+    xr, xb, res = lax.fori_loop(0, ns, sweep, (xr, xb, jnp.float32(0.0)))
+    res_ref[rb, 0] = res
     x = _unpack(xr[:, ho:ho + bh], xb[:, ho:ho + bh], jodd[:, ho:ho + bh])
     x_o[:] = x
 
@@ -292,23 +360,23 @@ def _pick_bh(w: int, quad: bool, ho: int) -> int:
 
 
 @functools.lru_cache(maxsize=None)
-def _build(h, w, quad, nsweeps, omega, interpret=False,
-           true_h=None, true_w=None, ho=None):
-    """Build the S-sweep pass kernel for an (h, w) local block.
+def _build(h, w, quad, omega, interpret=False,
+           true_h=None, true_w=None, ho=16):
+    """Build the multi-sweep pass kernel for an (h, w) local block.
 
     ``h`` must be a multiple of the chosen band height and ``w`` a multiple
     of 256 (the caller pads; lane-group alignment for the in-kernel
     deinterleave); ``true_h``/``true_w`` are the GLOBAL true dims for the
-    mirror/identity fixups.  ``ho`` (overlap rows per side, >= 2*nsweeps,
-    multiple of 8) may be forced so a remainder-pass kernel keeps the main
-    kernel's ghost strip width on the sharded path.
+    mirror/identity fixups.  ``ho`` (overlap rows per side, multiple of 8)
+    bounds the RUNTIME per-pass sweep count: exactness requires
+    ns <= ho // 2 (each red+black sweep consumes 2 overlap rows per side).
+    The sweep count itself is passed per call in the scalar-prefetch
+    vector, so one build serves every pass length up to that bound.
     """
     assert w % 256 == 0
     true_h = h if true_h is None else true_h
     true_w = w if true_w is None else true_w
-    if ho is None:
-        ho = 8 if nsweeps <= 4 else (16 if nsweeps <= 8 else 32)
-    assert 2 * nsweeps <= ho
+    assert ho % 8 == 0 and ho > 0
     bh = _pick_bh(w, quad, ho)
     hp = -(-h // bh) * bh
     gh = hp // bh
@@ -332,7 +400,7 @@ def _build(h, w, quad, nsweeps, omega, interpret=False,
 
     kern = functools.partial(_kernel, bh=bh, ho=ho, w=w, true_h=true_h,
                              true_w=true_w, quad=quad, omega=float(omega),
-                             nsweeps=nsweeps, gh=gh)
+                             gh=gh)
     call = pl.pallas_call(
         kern,
         compiler_params=pltpu.CompilerParams(
@@ -359,12 +427,14 @@ def _build(h, w, quad, nsweeps, omega, interpret=False,
         ),
     )
 
-    def call_wrapped(row0, x, cf, gx_n=None, gx_s=None,
+    def call_wrapped(sc, x, cf, gx_n=None, gx_s=None,
                      gcf_n=None, gcf_s=None):
+        """``sc`` = int32 (3,): [global row of local row 0, global col of
+        local col 0, ns] with 1 <= ns <= ho // 2."""
         if gx_n is None:                        # single-device: self-ghosts
             gx_n, gx_s = x[:, :ho], x[:, hp - ho:]
             gcf_n, gcf_s = cf[:, :ho], cf[:, hp - ho:]
-        return call(row0, x, x, x, cf, cf, cf, gx_n, gx_s, gcf_n, gcf_s)
+        return call(sc, x, x, x, cf, cf, cf, gx_n, gx_s, gcf_n, gcf_s)
 
     return call_wrapped, hp, bh, ho
 
@@ -410,22 +480,17 @@ def sor_solve_fused(sysm, tol, iters: int, omega: float = 1.9,
 
     s_main = min(8, iters)
     n_main, s_rem = divmod(iters, s_main)
-    call_m, hp, _, ho = _build(h, wp, bool(quad), s_main, float(omega),
-                               interp, true_h=h, true_w=w)
-    call_r = None
-    if s_rem:
-        call_r, hp_r, _, _ = _build(h, wp, bool(quad), s_rem, float(omega),
-                                    interp, true_h=h, true_w=w, ho=ho)
-        assert hp_r == hp
+    ho = 8 if s_main <= 4 else 16
+    call_p, hp, _, _ = _build(h, wp, bool(quad), float(omega),
+                              interp, true_h=h, true_w=w, ho=ho)
 
     cf = build_cf(sysm, hp, wp, quad)
     zero2 = jnp.zeros((2, hp, wp), f32)
-    row0 = jnp.zeros((2,), jnp.int32)
     resid0 = (jnp.sum(sysm.bu * sysm.bu, dtype=f32)
               + jnp.sum(sysm.bv * sysm.bv, dtype=f32))
 
-    def run(call, x):
-        xn, res = call(row0, x, cf)
+    def run(x, ns):
+        xn, res = call_p(jnp.array([0, 0, ns], jnp.int32), x, cf)
         return xn, jnp.sum(res, dtype=f32)
 
     def cond(st):
@@ -433,13 +498,16 @@ def sor_solve_fused(sysm, tol, iters: int, omega: float = 1.9,
 
     def body(st):
         x, _, k = st
-        x, res = run(call_m, x)
+        x, res = run(x, s_main)
         return (x, res, k + 1)
 
     x, resid, _ = lax.while_loop(cond, body, (zero2, resid0, jnp.int32(0)))
-    if call_r is not None:
-        xr, _ = run(call_r, x)
-        x = jnp.where(resid > tol, xr, x)
+    if s_rem:
+        # the remainder pass is the SAME compiled kernel at ns = s_rem, and
+        # it only runs when the tolerance has not already bound (no wasted
+        # HBM pass on converged systems)
+        x = lax.cond(resid > tol, lambda x: run(x, s_rem)[0],
+                     lambda x: x, x)
     return x[0, :h, :w], x[1, :h, :w]
 
 

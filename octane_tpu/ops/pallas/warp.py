@@ -428,12 +428,16 @@ def _build(k, h, w, dv, bh, hp, wp, fh=None, fw=None):
         # column index reaches lane 255 (idx1 = ci + 1 >= 256); dispatch
         # the cheaper 2-third kernel when no block can
         need3 = jnp.any(c_max - scol_by_nt[2] >= 255)
-        # the small row bucket is valid when every block's slice range fits
-        # its window (d + bh rows; overflow beyond the LARGE bucket keeps
-        # the documented clamp-to-window-edge semantics)
+        # the small row bucket is valid when every block's top sample-row
+        # offset stays within the kernel's d2 clip range [0, 2*dv] (the
+        # window holds d2 + 1 + bh rows, so the bilinear partner row d2 + 1
+        # is in range); offsets past 2*dv would be silently clipped and
+        # sample one source row too high, so such blocks must take the
+        # large bucket (overflow beyond the LARGE bucket keeps the
+        # documented clamp-to-window-edge semantics)
         if len(dvs) == 2:
             s_row_lo = rows_by_dv[dvs[0]][0]
-            fits_lo = jnp.all(r_max - s_row_lo <= 2 * dvs[0] + 1)
+            fits_lo = jnp.all(r_max - s_row_lo <= 2 * dvs[0])
         else:
             fits_lo = jnp.bool_(True)
 

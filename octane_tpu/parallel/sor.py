@@ -68,15 +68,10 @@ def make_sharded_fused_sor(mesh, omega: float = 1.9, true_hw=None):
         bh = psor._pick_bh(wp, quad, ho)
         hl = -(-h // (n * bh)) * bh
         h2 = hl * n
-        call_m, hp_l, bh_l, ho_l = psor._build(
-            hl, wp, quad, s_main, float(omega), interp, true_h=th,
+        call_p, hp_l, bh_l, ho_l = psor._build(
+            hl, wp, quad, float(omega), interp, true_h=th,
             true_w=tw, ho=ho)
         assert hp_l == hl and bh_l == bh and ho_l == ho
-        call_r = None
-        if s_rem:
-            call_r, _, _, _ = psor._build(
-                hl, wp, quad, s_rem, float(omega), interp, true_h=th,
-                true_w=tw, ho=ho)
 
         # one-copy coefficient stack (rows pad to h2 = n * hl, cols to wp;
         # band boundaries are multiples of bh (even), so global row parity
@@ -96,7 +91,6 @@ def make_sharded_fused_sor(mesh, omega: float = 1.9, true_hw=None):
             check_vma=False)       # pallas_call out_shapes carry no vma
         def solve(cf_g):
             d = lax.axis_index("band")
-            row0 = jnp.stack([(d * hl).astype(jnp.int32), jnp.int32(0)])
 
             gcf_n = lax.ppermute(cf_g[:, hl - ho:], "band", fwd)
             gcf_s = lax.ppermute(cf_g[:, :ho], "band", bwd)
@@ -110,10 +104,12 @@ def make_sharded_fused_sor(mesh, omega: float = 1.9, true_hw=None):
                 + jnp.sum(bv_l * bv_l, dtype=f32), "band")
             zero2 = jnp.zeros((2, hl, wp), f32)
 
-            def run(call, x):
+            def run(x, ns):
+                sc = jnp.stack([(d * hl).astype(jnp.int32), jnp.int32(0),
+                                jnp.int32(ns)])
                 gx_n = lax.ppermute(x[:, hl - ho:], "band", fwd)
                 gx_s = lax.ppermute(x[:, :ho], "band", bwd)
-                xn, res = call(row0, x, cf_g, gx_n, gx_s, gcf_n, gcf_s)
+                xn, res = call_p(sc, x, cf_g, gx_n, gx_s, gcf_n, gcf_s)
                 return xn, lax.psum(jnp.sum(res, dtype=f32), "band")
 
             def cond(st):
@@ -121,14 +117,18 @@ def make_sharded_fused_sor(mesh, omega: float = 1.9, true_hw=None):
 
             def body(st):
                 x, _, k = st
-                x, res = run(call_m, x)
+                x, res = run(x, s_main)
                 return (x, res, k + 1)
 
             x, resid, _ = lax.while_loop(
                 cond, body, (zero2, resid0, jnp.int32(0)))
-            if call_r is not None:
-                xr, _ = run(call_r, x)
-                x = jnp.where(resid > tol, xr, x)
+            if s_rem:
+                # same compiled kernel at ns = s_rem; the predicate is a
+                # psum result (replicated), so every device takes the same
+                # branch and the ppermutes inside stay collective-safe --
+                # and a converged solve skips the pass's HBM traffic
+                x = lax.cond(resid > tol, lambda x: run(x, s_rem)[0],
+                             lambda x: x, x)
             return x
 
         x = solve(cf)

@@ -95,3 +95,37 @@ def test_large_uniform_bias_moves_window(interpret_pallas):
     u = jnp.asarray((150.0 + rng.uniform(-3, 3, (h, w))).astype(np.float32))
     v = jnp.asarray((-40.0 + rng.uniform(-3, 3, (h, w))).astype(np.float32))
     _parity(h, w, u, v)
+
+
+def test_small_bucket_boundary_offset(interpret_pallas):
+    """Row-bucket dispatch boundary: a within-block row spread whose maximum
+    packed row offset is EXACTLY 2*dv_small + 1 must take the LARGE bucket
+    (the kernel clips d2 to 2*dv, so the small bucket would silently sample
+    one source row too high for the extreme pixels).  Regression test for
+    the off-by-one fits_lo guard."""
+    import jax.numpy as jnp
+    import octane_tpu.ops.pallas.warp as wm
+
+    h, w = 128, 256
+    dv = wm._round_dv(wm.DV)
+    dv_small = min(11, dv)
+    bh = wm._pick_bh(h, dv)
+    hp = -(-h // bh) * bh
+    wp = -(-w // wm.BW) * wm.BW
+
+    # v == 0 everywhere gives every block the constant packed row index
+    # bh*(rb+1) (8-aligned, so s_row == r_min); a patch of v == 2*dv_small+1
+    # in interior rows then makes r_max - s_row exactly 2*dv_small + 1 --
+    # one past the small bucket's d2 clip range.
+    v_np = np.zeros((h, w), np.float32)
+    v_np[4:8, 10:40] = float(2 * dv_small + 1)
+    u = jnp.zeros((h, w), jnp.float32)
+    v = jnp.asarray(v_np)
+
+    jv1, iv1, up, vp = wm._sample_indices(u, v, h, w, hp, wp)
+    r_min, r_max, _, _, _ = wm._block_stats(jv1, iv1, vp, h, w, hp, wp, bh)
+    s_row = jnp.clip(r_min // 8 * 8, 0, 1 << 30)
+    assert int(jnp.max(r_max - s_row)) == 2 * dv_small + 1, \
+        "test must land exactly on the dispatch boundary"
+    assert wm.row_spread_within_reach(u, v, (h, w))
+    _parity(h, w, u, v)

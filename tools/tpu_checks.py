@@ -141,13 +141,23 @@ def check_fused_cg():
 
 
 def check_sor():
-    """Multi-sweep temporally-blocked Pallas SOR vs the XLA red-black
-    sweep: the overlap-band blocking is exact and both paths share the one
-    hoisted reciprocal-determinant plane (flow.cg.sor_rdet, pinned against
-    FMA contraction on the XLA side), so the budget is BIT-EXACT, including
-    the remainder pass (iters=13 -> 8+5) and row padding (500 % 64 != 0)."""
+    """Multi-sweep temporally-blocked Pallas SOR on chip, two tiers:
+
+    1. PASS-SPLIT INVARIANCE, asserted BITWISE: the dynamic sweep count
+       means one Mosaic executable serves every pass, so run(x, a+b) must
+       equal run(run(x, a), b) exactly -- this is the kernel's structural
+       exactness contract (temporal blocking, band hand-off, packing).
+    2. Kernel vs the XLA red-black sweep: same sweep math, separately
+       compiled programs.  XLA deletes ``optimization_barrier`` before
+       codegen (optimized HLO has zero ``opt-barrier`` ops on both CPU and
+       TPU), so bitwise cross-program equality is empirical, not
+       contractual; the gate is a tight ulp bound and the exact delta is
+       printed for the round log (historically exactly 0 on Mosaic vs
+       XLA:TPU).  Covers the remainder pass (iters=13 -> 8+5, 30 -> the
+       production default) and row padding (500 % 64 != 0)."""
     from octane_tpu.flow.stencil import StencilSystem
     from octane_tpu.flow.cg import sor_solve
+    from octane_tpu.ops.pallas import sor as psor
     from octane_tpu.ops.pallas.sor import sor_solve_fused
 
     for h, w in ((512, 640), (500, 640)):
@@ -166,16 +176,38 @@ def check_sor():
                                   *(jnp.float32(-1),) * 4, *rhs),
         }
         for name, s in systems.items():
-            for iters in (8, 13):
+            # tier 1: bitwise pass-split invariance (same executable)
+            quad = name == "quad"
+            wp = -(-w // 256) * 256
+            call, hp, _, _ = psor._build(h, wp, quad, 1.9, False,
+                                         true_h=h, true_w=w)
+            cf = jax.jit(psor.build_cf, static_argnums=(1, 2, 3))(
+                s, hp, wp, quad)
+            x0 = jnp.zeros((2, hp, wp), jnp.float32)
+
+            def sc(ns):
+                return jnp.array([0, 0, ns], jnp.int32)
+
+            whole, _ = jax.jit(call)(sc(8), x0, cf)
+            part, _ = jax.jit(call)(sc(5), x0, cf)
+            split, _ = jax.jit(call)(sc(3), part, cf)
+            dsp = float(jnp.abs(whole - split).max())
+            print(f"fused sor {name} {h}x{w} pass-split 5+3 vs 8: "
+                  f"max abs diff {dsp:.2e}")
+            assert dsp == 0.0, "pass-split invariance must be bitwise"
+
+            # tier 2: vs the XLA sweep (empirically 0; gated at 2e-5 rel)
+            for iters in (8, 13, 30):
                 du, dv = jax.jit(
                     lambda s, it=iters: sor_solve(s, 1e-8, it))(s)
                 fu, fv = jax.jit(
                     lambda s, it=iters: sor_solve_fused(s, 1e-8, it))(s)
                 d = max(float(jnp.abs(fu - du).max()),
                         float(jnp.abs(fv - dv).max()))
+                scale = float(jnp.abs(du).max())
                 print(f"fused sor {name} {h}x{w} iters={iters}: "
-                      f"max abs diff {d:.2e}")
-                assert d == 0.0, "fused SOR must be bit-exact"
+                      f"max abs diff {d:.2e} (scale {scale:.1f})")
+                assert d / scale < 2e-5, "fused SOR drifted beyond ulp noise"
 
 
 def cloud_scene(hw, seed=9, shift=(2.4, -1.1)):
