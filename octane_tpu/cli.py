@@ -29,6 +29,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-Polar", action="store_true", help="polar orthonormal grid input")
     p.add_argument("-Merc", action="store_true", help="mercator grid input")
     p.add_argument("-ir", action="store_true", help="CTP stores IR temperatures")
+    p.add_argument("-ahi", action="store_true",
+                   help="deprecated (Himawari AHI); accepted so legacy "
+                        "command lines keep working -- clears CTH ingest "
+                        "like the reference (main.cc:200, 388-391)")
     p.add_argument("-sosm", action="store_true", help="patch-match tracking")
     p.add_argument("-hybrid", action="store_true",
                    help="patch-match initialization + variational refinement")
@@ -92,7 +96,8 @@ def args_to_config(a: argparse.Namespace) -> OFConfig:
         kiters=a.kiters, liters=a.liters, cgiters=a.cgiters,
         rad=a.rad, srad=a.srad,
         grid=grid, ir=a.ir, pixuv=a.pd,
-        do_cth=a.i1cth is not None,
+        # -ahi clears doCTH in the reference (main.cc:388-391)
+        do_cth=a.i1cth is not None and not a.ahi,
         do_firstguess=a.firstguess is not None,
         do_srsal=a.srsal, do_interp=a.interp,
         interp_cth_bicubic=not a.nncth,

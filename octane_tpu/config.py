@@ -33,6 +33,10 @@ class OFConfig:
     cgiters: int = 30                   # max CG iterations
     cg_tol: float = 1e-4 ** 2           # CG stop: ||r||^2 <= tol (oct_variational_optical_flow.cu:1353)
     gnc_steps: int = 3                  # graduated non-convexity steps (hard-coded 3 in reference :604)
+    # deprecated knobs no solver reads; carried for attr-for-attr product
+    # parity (echoed on optical_flow_settings, oct_filewrite.cc:243, 247)
+    filtsigma: float = 3.0              # main.cc:80 "deprecated"
+    miters: int = 5                     # offlags.h:54, unused by any solver
     # --- patch match (main.cc:75-76) ----------------------------------------
     rad: int = 2                        # target patch radius
     srad: int = 2                       # search radius

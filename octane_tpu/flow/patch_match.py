@@ -171,6 +171,15 @@ def _patch_match_local(g1, g2, rad, srad, h, w, gy0=0, gx0=0, halo=0):
     return _finish(nmin, mmin, probe_cost)
 
 
+# The first-guess path materializes (2*rad+1)^2 * (2*srad+1)^2 full-field
+# arbitrary gathers per spiral probe (the guess bends the per-pixel patch
+# origins, so the slice fast path does not apply) -- fine at sector scale,
+# but at full-disk dims it compiles to hundreds of GB of gather traffic.
+# Guarded: callers above this size get a clear refusal instead of an
+# OOM/hour-long compile.  The zero-guess path (slices) is unaffected.
+FIRST_GUESS_MAX_PIXELS = 8_000_000    # > CONUS band-2 1 km (~3.8 Mpix)
+
+
 def patch_match_flow(
     geo1: jnp.ndarray,
     geo2: jnp.ndarray,
@@ -183,6 +192,11 @@ def patch_match_flow(
 
     geo1/geo2: (H, W) float32.  ``u0``/``v0`` optionally give first-guess
     displacements; pass None (not zeros) to take the slice-based fast path.
+    The first-guess path is sector-scale only (see FIRST_GUESS_MAX_PIXELS);
+    for larger grids use algorithm='hybrid' (zero-guess patch-match init +
+    variational refinement, which consumes the first guess) or drop the
+    first guess.  Reference anchor: oct_patch_match_optical_flow.cc:56-156
+    is single-scale CPU code that was never run at full-disk size.
     """
     geo1 = jnp.asarray(geo1, jnp.float32)
     geo2 = jnp.asarray(geo2, jnp.float32)
@@ -190,6 +204,16 @@ def patch_match_flow(
 
     if u0 is None:
         return _patch_match_local(geo1, geo2, rad, srad, h, w)
+
+    if h * w > FIRST_GUESS_MAX_PIXELS:
+        raise ValueError(
+            f"patch-match with a first guess is sector-scale only: "
+            f"{h}x{w} = {h * w / 1e6:.1f} Mpix exceeds the "
+            f"{FIRST_GUESS_MAX_PIXELS / 1e6:.0f} Mpix guard (the guessed "
+            f"patch origins force {(2 * rad + 1) ** 2} full-field gathers "
+            f"per spiral probe).  Use -hybrid (patch-match init + "
+            f"variational refinement, which consumes the first guess) or "
+            f"drop -firstguess for -sosm.")
 
     ii = jnp.arange(w, dtype=jnp.float32)[None, :]
     jj = jnp.arange(h, dtype=jnp.float32)[:, None]

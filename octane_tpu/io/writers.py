@@ -168,14 +168,23 @@ def write_product(path: str, scene: Scene, cfg: OFConfig,
                             "3 = Brox (2004), 4 = Least Squares")
         ofv.attrs["Image2_xOffset"] = np.float32(nav.g2x_offset)
         ofv.attrs["Image2_yOffset"] = np.float32(nav.g2y_offset)
+        nmin, nmax = scene.norm_ranges[0]
         if cfg.oftype in (1, 3):
+            # full reference attr set, in schema order (oct_filewrite.cc:
+            # 239-251); filtsigma/M_Iterations are deprecated echo-only
+            # knobs and NormMax/NormMin the channel-1 normalization range
+            # actually used at ingest (oct_fileread.cc:341-359)
             ofv.attrs["lambda"] = np.float64(cfg.lambda_)
             ofv.attrs["lambdac"] = np.float64(cfg.lambdac)
             ofv.attrs["alpha"] = np.float64(cfg.alpha)
+            ofv.attrs["filtsigma"] = np.float64(cfg.filtsigma)
             ofv.attrs["ScaleF"] = np.float64(cfg.scale_factor)
             ofv.attrs["K_Iterations"] = np.int32(cfg.kiters)
             ofv.attrs["L_Iterations"] = np.int32(cfg.liters)
+            ofv.attrs["M_Iterations"] = np.int32(cfg.miters)
             ofv.attrs["CG_Iterations"] = np.int32(cfg.cgiters)
+            ofv.attrs["NormMax"] = np.float32(nmax)
+            ofv.attrs["NormMin"] = np.float32(nmin)
             ofv.attrs["dofirstguess"] = np.int32(1 if cfg.do_firstguess else 0)
             # extension beyond the reference schema: which relaxer produced
             # the flow (provenance for the promoted production SOR path)
@@ -185,6 +194,8 @@ def write_product(path: str, scene: Scene, cfg: OFConfig,
         if cfg.oftype == 4:
             ofv.attrs["Rad"] = np.int32(cfg.rad)
             ofv.attrs["SRad"] = np.int32(cfg.srad)
+            ofv.attrs["NormMax"] = np.float32(nmax)
+            ofv.attrs["NormMin"] = np.float32(nmin)
         ofv.attrs["dt_seconds"] = np.float32(scene.dt)
     return path
 
@@ -252,12 +263,20 @@ def _write_flat_product(path: str, scene: Scene, cfg: OFConfig,
         ofv.attrs["key"] = ("1 = Modified Sun (2014), 2 = Farneback, "
                             "3 = Brox (2004)")
         if cfg.oftype in (1, 3):
+            # flat-grid twin of the GOES attr set (oct_filewrite.cc:475-490
+            # polar, :657-670 mercator)
+            nmin, nmax = scene.norm_ranges[0]
             ofv.attrs["lambda"] = np.float64(cfg.lambda_)
             ofv.attrs["lambdac"] = np.float64(cfg.lambdac)
             ofv.attrs["alpha"] = np.float64(cfg.alpha)
+            ofv.attrs["filtsigma"] = np.float64(cfg.filtsigma)
             ofv.attrs["ScaleF"] = np.float64(cfg.scale_factor)
             ofv.attrs["K_Iterations"] = np.int32(cfg.kiters)
             ofv.attrs["L_Iterations"] = np.int32(cfg.liters)
+            ofv.attrs["M_Iterations"] = np.int32(cfg.miters)
             ofv.attrs["CG_Iterations"] = np.int32(cfg.cgiters)
+            ofv.attrs["NormMax"] = np.float32(nmax)
+            ofv.attrs["NormMin"] = np.float32(nmin)
+            ofv.attrs["dofirstguess"] = np.int32(1 if cfg.do_firstguess else 0)
         ofv.attrs["dt_seconds"] = np.float32(scene.dt)
     return path

@@ -104,3 +104,20 @@ def test_integer_translation_recovered():
     assert abs(np.median(interior) - 2.0) < 0.2
     assert abs(interior.mean() - 2.0) < 0.2
     assert abs(np.median(np.asarray(v)[6:-6, 6:-6])) < 0.2
+
+
+def test_first_guess_scale_guard():
+    """-sosm + first guess refuses beyond sector scale with a clear message
+    (the guessed patch origins force full-field gathers; the zero-guess
+    slice path stays available at any size)."""
+    import jax.numpy as jnp
+    import pytest
+    from octane_tpu.flow import patch_match as pm
+
+    big = pm.FIRST_GUESS_MAX_PIXELS
+    h = 4096
+    w = big // h + 1
+    g = jnp.zeros((h, w), jnp.float32)
+    u0 = jnp.zeros((h, w), jnp.float32)
+    with pytest.raises(ValueError, match="sector-scale only"):
+        pm.patch_match_flow(g, g, u0, u0)
