@@ -2,6 +2,7 @@
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from octane_tpu.flow.patch_match import patch_match_flow, spiral_offsets
 
@@ -55,6 +56,7 @@ def test_fast_path_matches_gather_path():
     np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
 
 
+@pytest.mark.slow
 def test_sharded_matches_single_device():
     # rad/srad 1 keeps the shard_map CPU compile fast; the halo/probe logic
     # exercised is identical to the production rad=srad=2
@@ -73,6 +75,7 @@ def test_sharded_matches_single_device():
     np.testing.assert_allclose(np.asarray(got_v), np.asarray(want_v), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sharded_non_divisible_shape():
     """Real sector dims rarely divide the mesh: the edge-replication pad
     must keep true pixels identical to the single-device fast path."""

@@ -97,6 +97,7 @@ class TestShardedWarpReachGuard:
 
 
 class TestPaddedSharding:
+    @pytest.mark.slow
     def test_odd_dims_match_single_device(self):
         """Non-mesh-divisible dims: the divisibility padding must reproduce
         the unpadded single-device solve at every true pixel."""
@@ -126,6 +127,7 @@ class TestPaddedSharding:
 
 
 class TestShardedSolve:
+    @pytest.mark.slow
     def test_matches_single_device(self):
         h = w = 64
         im1, im2 = _pair(h, w)
@@ -137,6 +139,7 @@ class TestShardedSolve:
         np.testing.assert_allclose(np.asarray(u1), np.asarray(u2), atol=1e-3)
         np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-3)
 
+    @pytest.mark.slow
     def test_1d_mesh(self):
         h = w = 32
         im1, im2 = _pair(h, w, shift=1.5)
@@ -171,6 +174,7 @@ class TestShardedPost:
         for g, wnt in zip(got, want):
             np.testing.assert_array_equal(np.asarray(g), np.asarray(wnt))
 
+    @pytest.mark.slow
     def test_srsal_matches(self):
         from octane_tpu.post.srsal import srsal_smooth
         from octane_tpu.parallel.post import sharded_srsal

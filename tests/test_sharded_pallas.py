@@ -99,6 +99,7 @@ def test_sharded_fused_sor_matches_xla_sor(interpret_pallas, quad, iters):
     assert d / scale < 2e-5, f"rel diff {d / scale:.2e} (quad={quad})"
 
 
+@pytest.mark.slow
 def test_sharded_flow_solver_sor(interpret_pallas):
     """End-to-end sharded program with solver='sor': the banded multi-sweep
     kernel engages (cg_levels) and matches the single-device XLA-SOR
@@ -153,6 +154,7 @@ def test_sharded_warp_pallas_matches_dense(interpret_pallas):
                                rtol=0, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_sharded_flow_with_pallas_kernels(interpret_pallas):
     """End-to-end: the sharded program with the Pallas warp + banded CG
     engaged must match the plain XLA solve."""

@@ -152,6 +152,7 @@ class TestSorKernel:
 
 
 class TestSorEndToEnd:
+    @pytest.mark.slow
     def test_flow_program_uses_fused_sor(self, monkeypatch):
         """solver='sor' + interpret-mode Pallas: the full pyramid program
         routes through the fused kernel and matches the XLA-SOR program

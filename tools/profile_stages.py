@@ -116,6 +116,18 @@ def main():
     print(f"{'xla_cg_robust':24s} {dt*1e3:9.1f} ms/solve "
           f"({dt/args.cgiters*1e3:6.2f} ms/iter)")
 
+    # ---- SOR (the production relaxer / bench default) ----------------------
+    from octane_tpu.ops.pallas.sor import sor_solve_fused
+    for name, quad in (("fused_sor_robust", False), ("fused_sor_quad", True)):
+        sysm = make_system(h, w, quad)
+        fn = jax.jit(lambda s: sor_solve_fused(
+            s, jnp.float32(1e-8), args.cgiters)[0][0, 0])
+        dt = timed(fn, (sysm,), k=2)
+        results[name] = dt
+        print(f"{name:24s} {dt*1e3:9.1f} ms/solve "
+              f"({dt/args.cgiters*1e3:6.2f} ms/sweep, "
+              f"{mpx/dt:7.1f} Mpix/s-solve)")
+
     # ---- warp --------------------------------------------------------------
     wf = make_pallas_warp((h, w))
     if wf is not None:
@@ -164,28 +176,33 @@ def main():
     # ---- whole program cross-check ------------------------------------------
     if not args.quick:
         from octane_tpu.flow.variational import flow_program
-        cfg = OFConfig(kiters=4, alpha=5.0, lambda_=1.0)
-        program = flow_program(cfg, (h, w), 1)
         z = jnp.zeros((h, w), jnp.float32)
         img2 = jnp.roll(img, 3, axis=2)
-        fn = lambda a, b, c, d: program(a, b, c, d)[0][0, 0]  # noqa: E731
-        dt = timed(fn, (img, img2, z, z), k=2)
-        results["full_program"] = dt
-        print(f"{'full_program':24s} {dt*1e3:9.1f} ms/pair "
-              f"({mpx/dt:7.2f} Mpix/s)")
+        for solver in ("sor", "pcg"):
+            cfg = OFConfig(kiters=4, alpha=5.0, lambda_=1.0, solver=solver)
+            program = flow_program(cfg, (h, w), 1)
+            fn = lambda a, b, c, d: program(a, b, c, d)[0][0, 0]  # noqa: E731
+            dt = timed(fn, (img, img2, z, z), k=2)
+            results[f"full_program_{solver}"] = dt
+            print(f"{'full_program_' + solver:24s} {dt*1e3:9.1f} ms/pair "
+                  f"({mpx/dt:7.2f} Mpix/s)")
 
         # implied accounting at default budget (3 GNC x 3 liters, 4 levels;
         # coarser levels cost ~(1/4 + 1/16 + 1/64) of the finest)
         lvl = 1 + 0.25 + 0.0625 + 0.015625
         inner = 9
-        cg = (results["fused_cg_quad"] * 3 +
-              results["fused_cg_robust"] * 6) * lvl
-        asm = (results["assemble_quad"] * 3 +
-               results["assemble_robust"] * 6) * lvl
-        wrp = results.get("pallas_warp", results["xla_warp"]) * inner * lvl
-        print(f"\nimplied: cg={cg*1e3:.0f} ms  assemble(incl warp)="
-              f"{asm*1e3:.0f} ms  warp-alone={wrp*1e3:.0f} ms  "
-              f"total-measured={results['full_program']*1e3:.0f} ms")
+        for solver, key_q, key_r in (("sor", "fused_sor_quad",
+                                      "fused_sor_robust"),
+                                     ("pcg", "fused_cg_quad",
+                                      "fused_cg_robust")):
+            cg = (results[key_q] * 3 + results[key_r] * 6) * lvl
+            asm = (results["assemble_quad"] * 3 +
+                   results["assemble_robust"] * 6) * lvl
+            wrp = results.get("pallas_warp", results["xla_warp"]) * inner * lvl
+            print(f"implied[{solver}]: solve={cg*1e3:.0f} ms  "
+                  f"assemble(incl warp)={asm*1e3:.0f} ms  "
+                  f"warp-alone={wrp*1e3:.0f} ms  total-measured="
+                  f"{results['full_program_' + solver]*1e3:.0f} ms")
 
 
 if __name__ == "__main__":
