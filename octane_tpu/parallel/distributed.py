@@ -90,14 +90,21 @@ def distributed_variational_flow(geo1_local, geo2_local, global_shape,
     geo2 = global_array_from_blocks(np.asarray(geo2_local, np.float32),
                                     gshape_img, mesh)
     h_loc, w = geo1_local.shape[-2:]
-    if first_guess is None:
-        zeros = np.zeros((h_loc, w), np.float32)
-        u0b, v0b = zeros, zeros
+    if (first_guess is not None and isinstance(first_guess[0], jax.Array)
+            and not isinstance(first_guess[0], np.ndarray)):
+        # already a global sharded array: device-resident warm start (the
+        # sequence driver hands the previous pair's flow straight through,
+        # no host round trip)
+        u0, v0 = first_guess
     else:
-        u0b = np.asarray(first_guess[0], np.float32)
-        v0b = np.asarray(first_guess[1], np.float32)
-    u0 = global_array_from_blocks(u0b, tuple(global_shape), mesh)
-    v0 = global_array_from_blocks(v0b, tuple(global_shape), mesh)
+        if first_guess is None:
+            zeros = np.zeros((h_loc, w), np.float32)
+            u0b, v0b = zeros, zeros
+        else:
+            u0b = np.asarray(first_guess[0], np.float32)
+            v0b = np.asarray(first_guess[1], np.float32)
+        u0 = global_array_from_blocks(u0b, tuple(global_shape), mesh)
+        v0 = global_array_from_blocks(v0b, tuple(global_shape), mesh)
     return sharded_variational_flow(geo1, geo2, u0, v0, cfg, mesh)
 
 
@@ -165,7 +172,9 @@ def run_pipeline_distributed(file1: str, file2: str, cfg: OFConfig,
                              outdir: str = "./",
                              cth_file=None, firstguess_file=None,
                              channel2=None, channel3=None,
-                             interp_dir: str = "./interpolation") -> list:
+                             interp_dir: str = "./interpolation",
+                             first_guess_flow=None, out_index=None,
+                             return_flow=False):
     """Multi-process pipeline: host-sharded ingest -> SPMD flow + winds ->
     parallel row-block product write.
 
@@ -233,9 +242,10 @@ def run_pipeline_distributed(file1: str, file2: str, cfg: OFConfig,
     dt = scene2.t - scene1.t
 
     # first guess -> pixel displacements (elementwise on the local block,
-    # oct_optical_flow.cc:52)
-    first_guess = None
-    if cfg.do_firstguess and scene1.ufg is not None:
+    # oct_optical_flow.cc:52); a device-resident sequence warm start takes
+    # priority
+    first_guess = first_guess_flow
+    if first_guess is None and cfg.do_firstguess and scene1.ufg is not None:
         u0b, v0b = uv2pix(scene1.ufg, scene1.vfg, scene1.lat, scene1.lon,
                           scene1.x, scene1.y, scene1.nav, dt, grid=cfg.grid)
         first_guess = (np.asarray(u0b), np.asarray(v0b))
@@ -315,13 +325,17 @@ def run_pipeline_distributed(file1: str, file2: str, cfg: OFConfig,
         if ctp_blk is not None:
             scene1.ctp = src["CTP"]
         suffix = {"goes": "", "polar": "_polar", "mercator": "_merc"}[cfg.grid]
-        outname = os.path.join(outdir, f"outfile{suffix}.nc")
+        stem = (f"outfile{suffix}.nc" if out_index is None
+                else f"outfile{suffix}_{out_index:03d}.nc")
+        outname = os.path.join(outdir, stem)
         written.append(write_product(outname, scene1, cfg, interp=False))
     multihost_utils.sync_global_devices("octane_write_done")
 
     if cfg.do_interp:
         written += _interpolate_sequence_distributed(
             scene1, scene2, us, vs, (h, w), (r0, r1), cfg, interp_dir, mesh)
+    if return_flow:
+        return written, (us, vs)
     return written
 
 
@@ -406,3 +420,121 @@ def jnp_abs_max(a) -> float:
     """max |a| of a global sharded array (small replicated scalar)."""
     import jax.numpy as jnp
     return jax.jit(lambda x: jnp.max(jnp.abs(x)))(a)
+
+
+# ---------------------------------------------------------------------------
+# Multi-host sequence mode (BASELINE config 5 "across hosts")
+# ---------------------------------------------------------------------------
+
+def _seq_ckpt_path(checkpoint: str) -> str:
+    return f"{checkpoint}.p{jax.process_index()}.h5"
+
+
+def _save_seq_checkpoint(checkpoint: str, index: int, u_blk, v_blk,
+                         r0: int, r1: int, key: str, files_done):
+    """Row-block checkpoint: each process atomically writes ITS rows of the
+    warm-start flow (no cross-host traffic, bounded memory -- the sequence
+    analog of the pipeline's part-file product write)."""
+    path = _seq_ckpt_path(checkpoint)
+    tmp = path + ".tmp"
+    with h5py.File(tmp, "w") as f:
+        f.create_dataset("pair_index", data=np.int64(index))
+        f.create_dataset("u_pix", data=np.asarray(u_blk, np.float32))
+        f.create_dataset("v_pix", data=np.asarray(v_blk, np.float32))
+        f.attrs["row0"] = r0
+        f.attrs["row1"] = r1
+        f.attrs["nprocs"] = jax.process_count()
+        f.attrs["cfg_key"] = key
+        f.attrs["files_done"] = "\n".join(files_done)
+    import os
+    os.replace(tmp, path)
+
+
+def _load_seq_checkpoint(checkpoint: str, key: str, files, r0: int, r1: int):
+    import os
+    path = _seq_ckpt_path(checkpoint)
+    if not os.path.exists(path):
+        return None
+    with h5py.File(path, "r") as f:
+        def _s(a):
+            return a.decode() if isinstance(a, bytes) else str(a)
+
+        if _s(f.attrs.get("cfg_key", "")) != key:
+            raise ValueError(
+                "checkpoint was written by a run with different solver "
+                "settings; delete it (or rerun with the original settings) "
+                f"to resume: {path}")
+        if int(f.attrs.get("nprocs", -1)) != jax.process_count() or \
+                (int(f.attrs["row0"]), int(f.attrs["row1"])) != (r0, r1):
+            raise ValueError(
+                "checkpoint was written by a run with a different process "
+                f"layout; resume with the same -nprocs: {path}")
+        done = _s(f.attrs.get("files_done", "")).split("\n")
+        if done != list(files[:len(done)]):
+            raise ValueError(
+                "checkpoint was written against a different frame list "
+                f"(appending new frames is fine; reordering is not): {path}")
+        return (int(f["pair_index"][()]),
+                np.asarray(f["u_pix"][()]),
+                np.asarray(f["v_pix"][()]))
+
+
+def run_sequence_distributed(
+    files,
+    cfg: OFConfig,
+    outdir: str = "./",
+    checkpoint: Optional[str] = None,
+    warm_start: bool = True,
+    interp_dir: str = "./interpolation",
+) -> list:
+    """Multi-process sequence driver (sequence.run_sequence under -nprocs).
+
+    Consecutive pairs run through run_pipeline_distributed; the previous
+    pair's flow warm-starts the next solve DEVICE-RESIDENT (the global
+    sharded array is handed straight back in -- no host gather, no DCN
+    round trip; the reference's first-guess mechanism, main.cc:274-278,
+    without the netCDF detour).  With ``checkpoint`` set, every process
+    writes its row block of the warm-start flow after each pair and a
+    rerun resumes from the first unprocessed pair.  Products are named
+    exactly like the single-process sequence (outfile{suffix}_{i:03d}.nc;
+    interpolated frames under pair_{i:03d}/ subdirectories).
+    """
+    import os
+    from octane_tpu.sequence import _cfg_key
+
+    if len(files) < 2:
+        raise ValueError("a sequence needs at least two frames")
+    if h5py is None:
+        raise RuntimeError("h5py is required for file ingest")
+    with h5py.File(files[0], "r") as f:
+        var = "Rad" if "Rad" in f else "data"
+        h, w = f[var].shape
+    r0, r1 = host_row_block(h)
+    mesh = distributed_mesh(cfg)
+    key = _cfg_key(cfg)
+
+    start = 0
+    fg = None
+    if checkpoint:
+        state = _load_seq_checkpoint(checkpoint, key, files, r0, r1)
+        if state is not None:
+            idx, u_blk, v_blk = state
+            start = idx + 1
+            if warm_start:
+                fg = (global_array_from_blocks(u_blk, (h, w), mesh),
+                      global_array_from_blocks(v_blk, (h, w), mesh))
+
+    written = []
+    for i in range(start, len(files) - 1):
+        out, (us, vs) = run_pipeline_distributed(
+            files[i], files[i + 1], cfg, outdir=outdir,
+            interp_dir=os.path.join(interp_dir, f"pair_{i:03d}"),
+            first_guess_flow=fg, out_index=i, return_flow=True)
+        written += out
+        fg = (us, vs) if warm_start else None
+        if checkpoint:
+            _save_seq_checkpoint(
+                checkpoint, i, local_rows2d(us, r0, r1, np.float32),
+                local_rows2d(vs, r0, r1, np.float32), r0, r1, key,
+                files[:i + 2])
+    return written

@@ -117,7 +117,11 @@ def run_sequence(
         out = os.path.join(outdir, f"outfile{suffix}_{i:03d}.nc")
         written.append(write_product(out, scene1, cfg, interp=False))
         if cfg.do_interp:
-            written += interpolate_sequence(scene1, scene2, cfg, interp_dir)
+            # per-pair subdirectory: frame indices restart at 1 every pair
+            # (pipeline.interpolate_sequence naming), so a flat dir would
+            # overwrite the previous pair's frames
+            written += interpolate_sequence(
+                scene1, scene2, cfg, os.path.join(interp_dir, f"pair_{i:03d}"))
 
         u_prev = scene1.u_pix
         v_prev = scene1.v_pix

@@ -274,3 +274,89 @@ def test_two_process_product_matches_single(tmp_path):
                        - np.asarray(fs[var][()], np.int32))
             assert d.max() <= 5, f"{var}: max short diff {d.max()}"
         np.testing.assert_array_equal(fm["Rad"][()], fs["Rad"][()])
+
+
+@pytest.mark.slow
+def test_two_process_sequence_matches_single(tmp_path):
+    """run_sequence_distributed: 3-frame sequence over a 2-process cluster
+    -- warm-started pair 2, row-block checkpoints and a mid-sequence resume
+    (the second invocation continues from the checkpoint) -- must match the
+    single-process run_sequence products."""
+    from tests.synth import make_goes_file
+
+    h, w = 96, 128
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+
+    def scene(s):
+        return (3000 + 8000 * np.exp(-(((xx - s - w / 2) ** 2
+                                        + (yy - h / 2) ** 2) / (2 * 14.0 ** 2)))
+                + 1500 * np.sin((xx - s) / 7.0) * np.cos(yy / 9.0)
+                ).astype(np.int16)
+
+    files = [make_goes_file(str(tmp_path / f"g{k}.nc"), scene(2.0 * k),
+                            band=13, t=650000000.0 + 60.0 * k)
+             for k in range(3)]
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["JAX_COMPILATION_CACHE_DIR"] = os.path.join(REPO, ".jax_cache")
+    env["PYTHONPATH"] = REPO
+
+    worker = (
+        "import sys\n"
+        "from octane_tpu.parallel.distributed import (initialize_multihost,"
+        " run_sequence_distributed)\n"
+        "from octane_tpu.config import OFConfig\n"
+        "coord, pid, out, ck, nfiles = sys.argv[1], int(sys.argv[2]), "
+        "sys.argv[3], sys.argv[4], int(sys.argv[5])\n"
+        "files = sys.argv[6:6 + nfiles]\n"
+        "initialize_multihost(coord, 2, pid)\n"
+        "cfg = OFConfig(kiters=2, liters=2, cgiters=8, lambdac=0.1,\n"
+        "               mesh_shape=(2, 4))\n"
+        "run_sequence_distributed(files, cfg, outdir=out, checkpoint=ck)\n"
+    )
+
+    def launch(nfiles):
+        port = _free_port()
+        procs = [subprocess.Popen(
+            [sys.executable, "-c", worker, f"127.0.0.1:{port}", str(pid),
+             str(tmp_path / "dist_out"), str(tmp_path / "seq.ckpt"),
+             str(nfiles)] + files[:nfiles],
+            env=env, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+            for pid in range(2)]
+        outs = [p.communicate(timeout=1800)[0].decode() for p in procs]
+        for p, o in zip(procs, outs):
+            assert p.returncode == 0, f"worker failed:\n{o[-4000:]}"
+
+    launch(2)                 # first invocation: pair 0 only
+    assert os.path.exists(str(tmp_path / "seq.ckpt.p0.h5"))
+    launch(3)                 # resume: loads the checkpoint, runs pair 1
+
+    # single-process reference on the same (2, 4) mesh (8 virtual devices)
+    env1 = dict(env)
+    env1["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    single = (
+        "import sys\n"
+        "from octane_tpu.sequence import run_sequence\n"
+        "from octane_tpu.config import OFConfig\n"
+        "cfg = OFConfig(kiters=2, liters=2, cgiters=8, lambdac=0.1,\n"
+        "               mesh_shape=(2, 4))\n"
+        "run_sequence(sys.argv[2:], cfg, outdir=sys.argv[1])\n"
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", single, str(tmp_path / "single_out")] + files,
+        env=env1, cwd=REPO, capture_output=True, timeout=1800)
+    assert r.returncode == 0, r.stderr.decode()[-4000:]
+
+    for i in range(2):
+        pd = os.path.join(str(tmp_path / "dist_out"), f"outfile_{i:03d}.nc")
+        ps = os.path.join(str(tmp_path / "single_out"), f"outfile_{i:03d}.nc")
+        with h5py.File(pd) as fd, h5py.File(ps) as fs:
+            np.testing.assert_array_equal(fd["Rad"][()], fs["Rad"][()])
+            for var in ("U", "V", "U_raw", "V_raw"):
+                d = np.abs(np.asarray(fd[var][()], np.int32)
+                           - np.asarray(fs[var][()], np.int32))
+                assert d.max() <= 5, f"pair {i} {var}: max short diff {d.max()}"
+                assert (d == 0).mean() > 0.98, f"pair {i} {var}"
