@@ -346,7 +346,12 @@ def _pick_bh(w: int, quad: bool, ho: int) -> int:
     """Largest band height whose double-buffered streams plus the in-kernel
     frame temporaries (x/cf frames, their packed halves and the sweep
     temporaries) fit in VMEM.  Larger bands amortize the 2*ho overlap rows
-    (pure redundant compute), so prefer the biggest that fits."""
+    (pure redundant compute), so prefer the biggest that fits.  The model
+    overestimates (Mosaic reuses buffers): the 140 MB budget is calibrated
+    on chip -- at w=5632 the model says 131 MB for bh=64, which compiles
+    under the 128 MB vmem limit and runs 9% faster per sweep than bh=32
+    (2.42 vs 2.66 ms, r5 probe), while bh=128 (221 MB model) fails to
+    compile."""
     nc = 6 if quad else 10
     for bh in (256, 128, 64, 32, 16):
         if bh % ho:
@@ -354,7 +359,7 @@ def _pick_bh(w: int, quad: bool, ho: int) -> int:
         frame = bh + 2 * ho
         streams = 2 * ((2 + nc) * frame + 2 * bh)     # double-buffered in+out
         temps = (2 * (2 + nc) + 10) * frame           # frames + packed + swp
-        if (streams + temps) * w * 4 <= 100 * 1024 * 1024:
+        if (streams + temps) * w * 4 <= 140 * 1024 * 1024:
             return bh
     return 16
 

@@ -472,7 +472,7 @@ def _pick_bh(h: int, dv: int) -> int:
     fused row-interpolation accumulator, per-slice cost is VMEM streaming of
     the rolled window, so the trade is per-block fixed cost (window DMA +
     index math; favours big blocks) vs per-block row spread (favours small).
-    Measured at 5424^2 (bench-like flow, PROFILE_r04.md):
+    Measured at 5424^2 (bench-like flow; stage tables in PROFILE_r05.md):
     bh 32/64/128 -> 19.7/18.2/18.3 ms -- 64 wins."""
     return 64 if h >= 64 else 32
 

@@ -475,3 +475,117 @@ def warpflow(u, v, im1, im2, time):
                         vt[t_j, t_i] = v[j, i]
                         sos[t_j, t_i] = d2
     return ut, vt
+
+
+def apply_stencil_np(A, du, dv):
+    """Matrix-free A @ (du, dv): exactly dense_matrix's row structure
+    (same coefficients, same edge-folded mirror indices iW=1 at i=0 etc.,
+    ref :929-1077) without materializing the 2N x 2N matrix, so the oracle
+    scales to the 256^2 golden fixture (the dense form is 64 GB there).
+    Equivalence to dense_matrix checked by tests/test_golden.py on a small
+    grid.  float32 ops; summation order differs from BLAS np.dot exactly
+    as the dense path's own reassociation does -- the oracle contract is
+    EPE-level, not bitwise."""
+    h, w = du.shape
+    iW = np.arange(w) - 1
+    iW[0] = 1
+    iE = np.arange(w) + 1
+    iE[-1] = w - 2
+    jN = np.arange(h) - 1
+    jN[0] = 1
+    jS = np.arange(h) + 1
+    jS[-1] = h - 2
+
+    def op(f):
+        return (A["a5"] * f[:, iW] + A["a7"] * f[:, iE]
+                + A["a6"] * f[jN, :] + A["a8"] * f[jS, :]).astype(F)
+
+    au = (A["a1"] * du + A["a2"] * dv).astype(F) + op(du)
+    av = (A["a2"] * du + A["a4"] * dv).astype(F) + op(dv)
+    return au.astype(F), av.astype(F)
+
+
+def pcg_matfree(A, b_u, b_v, tol, iters):
+    """Reference PCG (ref :1100-1183) on the matrix-free operator."""
+    h, w = A["a1"].shape
+    xu = np.zeros((h, w), F)
+    xv = np.zeros((h, w), F)
+    ru, rv = b_u.copy(), b_v.copy()
+    zu = (ru / A["a1"]).astype(F)
+    zv = (rv / A["a4"]).astype(F)
+    pu, pv = zu.copy(), zv.copy()
+    resid = F(np.vdot(ru, ru) + np.vdot(rv, rv))
+    rz = F(np.vdot(ru, zu) + np.vdot(rv, zv))
+    k = 0
+    while resid > tol and k < iters:
+        apu, apv = apply_stencil_np(A, pu, pv)
+        alpha = rz / F(np.vdot(pu, apu) + np.vdot(pv, apv))
+        xu = (xu + alpha * pu).astype(F)
+        xv = (xv + alpha * pv).astype(F)
+        ru = (ru - alpha * apu).astype(F)
+        rv = (rv - alpha * apv).astype(F)
+        resid = F(np.vdot(ru, ru) + np.vdot(rv, rv))
+        zu = (ru / A["a1"]).astype(F)
+        zv = (rv / A["a4"]).astype(F)
+        rz_new = F(np.vdot(ru, zu) + np.vdot(rv, zv))
+        beta = rz_new / rz
+        rz = rz_new
+        pu = (zu + beta * pu).astype(F)
+        pv = (zv + beta * pv).astype(F)
+        k += 1
+    return xu, xv
+
+
+def solve_level_matfree(geo1, geo2, u, v, uhat, vhat, alpha, lam, lambdac,
+                        liters, cgiters, tol, dozim, gnc_steps=3):
+    """solve_level with the matrix-free PCG (identical math/stopping)."""
+    grads = {}
+    grads["gx1"] = np.stack([compgrad(c)[0] for c in geo1])
+    grads["gy1"] = np.stack([compgrad(c)[1] for c in geo1])
+    grads["gx2"] = np.stack([compgrad(c)[0] for c in geo2])
+    grads["gy2"] = np.stack([compgrad(c)[1] for c in geo2])
+    grads["gxx"] = np.stack([compgrad(c)[0] for c in grads["gx2"]])
+    grads["gxy"] = np.stack([compgrad(c)[0] for c in grads["gy2"]])
+    grads["gyy"] = np.stack([compgrad(c)[1] for c in grads["gy2"]])
+    lam_a = lam / alpha
+    for gnc in range(gnc_steps):
+        al1 = 1.0 - 0.5 * gnc
+        for _ in range(liters):
+            A = assemble(geo1, geo2, grads, u, v, uhat, vhat,
+                         al1, alpha, lam_a, lambdac, dozim)
+            du, dv = pcg_matfree(A, A["bu"], A["bv"], tol, cgiters)
+            u = (u + du).astype(F)
+            v = (v + dv).astype(F)
+    return u, v
+
+
+def variational_flow_matfree(geo1, geo2, u0, v0, alpha=5.0, lam=1.0,
+                             lambdac=0.0, scale_factor=0.5, kiters=4,
+                             liters=3, cgiters=30, tol=1e-8, dozim=True):
+    """variational_flow with the matrix-free level solver (for fixture
+    sizes where the dense matrix is infeasible)."""
+    if geo1.ndim == 2:
+        geo1 = geo1[None]
+        geo2 = geo2[None]
+    u = v = None
+    for k in range(kiters):
+        factor = float(np.float32(scale_factor) ** (kiters - k - 1))
+        nxx, nyy = zoom_size(geo1.shape[-1], factor), \
+            zoom_size(geo1.shape[-2], factor)
+        lc = (lambdac / alpha) * (0.5 ** k)
+        if k == kiters - 1:
+            g1, g2 = geo1, geo2
+            uhat, vhat = u0.copy(), v0.copy()
+        else:
+            g1 = np.stack([solver_downsample(c, factor) for c in geo1])
+            g2 = np.stack([solver_downsample(c, factor) for c in geo2])
+            uhat = solver_downsample(u0, factor) * F(factor)
+            vhat = solver_downsample(v0, factor) * F(factor)
+        if k == 0:
+            u, v = uhat.copy(), vhat.copy()
+        else:
+            u = zoom_in_flow(u, nxx, nyy, F(scale_factor))
+            v = zoom_in_flow(v, nxx, nyy, F(scale_factor))
+        u, v = solve_level_matfree(g1, g2, u, v, uhat, vhat, alpha, lam, lc,
+                                   liters, cgiters, tol, dozim)
+    return u, v
