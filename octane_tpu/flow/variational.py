@@ -33,14 +33,15 @@ from octane_tpu.flow.cg import pcg_solve, sor_solve
 @functools.partial(
     jax.jit,
     static_argnames=("liters", "cgiters", "gnc_steps", "dozim", "solver",
-                     "warp_fn", "true_hw", "fused_cg", "cg_fn", "sor_omega"),
+                     "warp_fn", "true_hw", "fused_cg", "cg_fn", "sor_omega",
+                     "fused_asm"),
 )
 def solve_level(
     g1, g2, u, v, uhat, vhat,
     alpha, lam_over_alpha, lambdac, tol,
     liters: int, cgiters: int, gnc_steps: int, dozim: bool, solver: str = "pcg",
     warp_fn=None, true_hw=None, fused_cg: bool = False, cg_fn=None,
-    sor_omega: float = 1.9,
+    sor_omega: float = 1.9, fused_asm=None,
 ):
     """Run GNC x inner iterations at one pyramid level.
 
@@ -51,6 +52,12 @@ def solve_level(
     mesh-divisibility padding (sharded path).  All boundary handling then
     happens at the true edges and padded pixels are decoupled identity rows,
     so true-pixel results match the unpadded solve.
+
+    ``fused_asm``: the shared padded dims (hp, wp) of the fully fused
+    Pallas chain (warp -> assemble -> SOR, single device): the inner loop
+    then runs entirely on zero-padded (hp, wp) planes and the XLA assembly
+    disappears (see ops.pallas.assemble).  Requires ``warp_fn`` built with
+    ``pad_to=(hp, wp), crop=False`` and solver == "sor".
     """
     gx1, gy1 = gradient_4th(g1, true_hw)
     gx2, gy2 = gradient_4th(g2, true_hw)
@@ -60,6 +67,13 @@ def solve_level(
     stack = jnp.concatenate([g2, gx2, gy2, gxx, gxy, gyy], axis=0)
     if warp_fn is not None and hasattr(warp_fn, "pad"):
         stack = warp_fn.pad(stack)
+
+    if fused_asm is not None:
+        assert solver == "sor" and warp_fn is not None and true_hw is None
+        return _solve_level_fused(
+            g1, gx1, gy1, stack, u, v, uhat, vhat,
+            alpha, lam_over_alpha, lambdac, tol,
+            liters, cgiters, gnc_steps, dozim, warp_fn, sor_omega, fused_asm)
 
     def make_inner(al1, al1_s):
         def inner(uv):
@@ -108,6 +122,62 @@ def solve_level(
     return u, v
 
 
+def _solve_level_fused(
+    g1, gx1, gy1, stack, u, v, uhat, vhat,
+    alpha, lam_a, lambdac, tol,
+    liters, cgiters, gnc_steps, dozim, warp_fn, sor_omega, pad_shape,
+):
+    """Fully fused Pallas inner loop: warp -> assemble -> SOR on one shared
+    zero-padded (hp, wp) frame.
+
+    The level-invariant [geo1, gx1, gy1] stack and the hint fields are
+    padded once; u/v live padded through the GNC x liters loops (the SOR
+    solution is exactly zero on padded cells -- identity equations, zero
+    rhs, zero init -- so the zero padding is invariant, which keeps the
+    warp's data-driven window stats identical to the crop-and-repad path).
+    """
+    from octane_tpu.ops.pallas.assemble import make_fused_assemble
+    from octane_tpu.ops.pallas.sor import sor_solve_cf
+    from octane_tpu.ops.pallas.warp import interpret_mode
+
+    C, h, w = g1.shape
+    hp, wp = pad_shape
+    interp = interpret_mode()
+
+    def pad2(a):
+        return jnp.pad(a, ((0, hp - h), (0, wp - w)))
+
+    g1s = jnp.pad(jnp.concatenate([g1, gx1, gy1], axis=0),
+                  ((0, 0), (0, hp - h), (0, wp - w)))
+    uhat_p, vhat_p = pad2(uhat), pad2(vhat)
+    u, v = pad2(u), pad2(v)
+
+    def make_inner(al1, quad):
+        asm = make_fused_assemble((h, w), (hp, wp), C, quad, dozim,
+                                  interpret=interp)
+
+        def inner(uv):
+            u, v = uv
+            smp, bcx, bcy = warp_fn(stack, u, v)
+            cf, r0 = asm(al1, lambdac, alpha, lam_a,
+                         g1s, smp, bcx, bcy, u, v, uhat_p, vhat_p)
+            du, dv = sor_solve_cf(cf, r0, tol, cgiters, (h, w),
+                                  omega=sor_omega, interpret=interp,
+                                  crop=False)
+            return u + du, v + dv
+
+        return inner
+
+    quad = make_inner(jnp.float32(1.0), True)
+    u, v = jax.lax.fori_loop(0, liters, lambda _, uv: quad(uv), (u, v))
+    if gnc_steps > 1:
+        def robust(i, uv):
+            g = 1.0 + (i // liters).astype(jnp.float32)
+            return make_inner(1.0 - 0.5 * g, False)(uv)
+        u, v = jax.lax.fori_loop(0, (gnc_steps - 1) * liters, robust, (u, v))
+    return u[:h, :w], v[:h, :w]
+
+
 def _coarse_to_fine(geo1, geo2, u0, v0, cfg: OFConfig, warp_fns=None,
                     true_shape=None, allow_fused=False, cg_fns=None):
     """Trace the full pyramid schedule (shapes static, loop unrolled).
@@ -152,6 +222,8 @@ def _coarse_to_fine(geo1, geo2, u0, v0, cfg: OFConfig, warp_fns=None,
         # the fused Pallas solvers run single-device only (a pallas_call
         # cannot be GSPMD-partitioned) and at the true dims
         fused = False
+        wf_k = warp_fns.get(k) if warp_fns else None
+        fused_asm = getattr(wf_k, "fused_asm", None)  # set by flow_program
         if allow_fused and cfg.use_pallas and not padded:
             if cfg.solver == "pcg":
                 from octane_tpu.ops.pallas.cg import pallas_cg_available
@@ -164,11 +236,12 @@ def _coarse_to_fine(geo1, geo2, u0, v0, cfg: OFConfig, warp_fns=None,
             jnp.float32(cfg.alpha), jnp.float32(cfg.lambda_over_alpha),
             jnp.float32(lambdac_k), jnp.float32(cfg.cg_tol),
             cfg.liters, cfg.cgiters, cfg.gnc_steps, cfg.dozim, cfg.solver,
-            warp_fn=warp_fns.get(k) if warp_fns else None,
+            warp_fn=wf_k,
             true_hw=(tny, tnx) if padded else None,
             fused_cg=fused,
             cg_fn=cg_fns.get(k) if cg_fns else None,
             sor_omega=cfg.sor_omega,
+            fused_asm=fused_asm if (allow_fused and not padded) else None,
         )
         prev_true = (tny, tnx)
     return u, v
@@ -191,15 +264,27 @@ def flow_program(cfg: OFConfig, shape, nchan: int):
     if key in _program_cache:
         return _program_cache[key]
 
-    # per-level Pallas warp kernels on TPU backends
+    # per-level Pallas warp kernels on TPU backends.  With the SOR solver,
+    # levels large enough for the Pallas SOR run the fully fused chain
+    # (warp -> assemble -> SOR, ops.pallas.assemble): the warp is then
+    # built uncropped on the chain's shared padded frame and tagged with
+    # it (solve_level dispatches on the tag).
     warp_fns = {}
     if cfg.use_pallas:
         from octane_tpu.ops.pallas.warp import make_pallas_warp
+        from octane_tpu.ops.pallas.sor import pallas_sor_available
+        from octane_tpu.ops.pallas.assemble import fused_geometry
         h, w = shape
         for k in range(cfg.kiters):
             factor = float(np.float32(cfg.scale_factor) ** (cfg.kiters - k - 1))
             lvl = (zoom_size(h, factor), zoom_size(w, factor))
-            wf = make_pallas_warp(lvl)
+            if cfg.solver == "sor" and pallas_sor_available(lvl):
+                pad_shape = fused_geometry(lvl, cfg.cgiters)
+                wf = make_pallas_warp(lvl, pad_to=pad_shape, crop=False)
+                if wf is not None:
+                    wf.fused_asm = pad_shape
+            else:
+                wf = make_pallas_warp(lvl)
             if wf is not None:
                 warp_fns[k] = wf
 

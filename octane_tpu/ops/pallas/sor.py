@@ -234,12 +234,20 @@ def _colour_update(xc, xo, cf, rdet, grow, par, pcol, padpix, *, colour,
     order; cross-program agreement is ulp-bounded, not bitwise (see the
     module docstring).
     """
-    a1 = cf[0:1]
-    a4 = cf[1:2]
-    a2 = cf[2:3]
     ru, rv = _colour_residual(xc, xo, cf, grow, par, pcol, padpix,
                               colour=colour, quad=quad,
                               true_h=true_h, true_w=true_w)
+    return _apply_colour(xc, ru, rv, cf, rdet, omega)
+
+
+def _apply_colour(xc, ru, rv, cf, rdet, omega):
+    """The 2x2 block solve + omega-damped update on a precomputed
+    pre-update residual (the second half of ``_colour_update``; split out
+    so the first red half-sweep of a pass can share its residual with the
+    stopping-rule evaluation instead of computing it twice)."""
+    a1 = cf[0:1]
+    a4 = cf[1:2]
+    a2 = cf[2:3]
     ndu = (a4 * ru - a2 * rv) * rdet
     ndv = (a1 * rv - a2 * ru) * rdet
     om = jnp.float32(omega)
@@ -317,12 +325,17 @@ def _kernel(sc_ref, x_n, x_b, x_s, cf_n, cf_b, cf_s,
     def sweep(i, carry):
         xr, xb, res = carry
 
-        # stopping-rule residual of the pass's INCOMING iterate (sweep 0
-        # only): both colours' r = b - A x at the same iterate, summed over
-        # the body rows.  Isolated in a branch that feeds only the scalar.
+        # the red pre-update residual doubles as the red half of the
+        # stopping-rule residual on sweep 0 (identical values by
+        # definition: both are r = b - A x at the sweep's incoming
+        # iterate), so it is computed ONCE and shared between the emitted
+        # scalar and the update -- only the black half of the pass
+        # residual costs extra work, in a first-iteration branch that
+        # feeds nothing but the scalar.
+        ru, rv = _colour_residual(xr, xb, cfr, grow, par, pcol, pad_r,
+                                  colour=0, **rkw)
+
         def first_res():
-            ru, rv = _colour_residual(xr, xb, cfr, grow, par, pcol, pad_r,
-                                      colour=0, **rkw)
             rub, rvb = _colour_residual(xb, xr, cfb, grow, par, pcol, pad_b,
                                         colour=1, **rkw)
             r2 = (ru * ru + rv * rv)[:, ho:ho + bh]
@@ -330,8 +343,7 @@ def _kernel(sc_ref, x_n, x_b, x_s, cf_n, cf_b, cf_s,
             return jnp.sum(r2, dtype=f32) + jnp.sum(r2b, dtype=f32)
 
         res = lax.cond(i == 0, first_res, lambda: res)
-        xr = _colour_update(xr, xb, cfr, rdet_r, grow, par, pcol, pad_r,
-                            colour=0, **kw)
+        xr = _apply_colour(xr, ru, rv, cfr, rdet_r, omega)
         xb = _colour_update(xb, xr, cfb, rdet_b, grow, par, pcol, pad_b,
                             colour=1, **kw)
         return xr, xb, res
@@ -467,32 +479,31 @@ def build_cf(sysm, hp, wp, quad):
     return cf
 
 
-def sor_solve_fused(sysm, tol, iters: int, omega: float = 1.9,
-                    interpret: bool = False):
-    """Drop-in for flow.cg.sor_solve on TPU (single-device path).
+def sor_solve_cf(cf, resid0, tol, iters: int, true_hw, omega: float = 1.9,
+                 interpret: bool = False, crop: bool = True):
+    """Multi-sweep SOR on a pre-built (nc, hp, wp) coefficient stack.
 
-    ``sysm`` is a flow.stencil.StencilSystem (scalar off-diagonals select
-    the quadratic build); ``iters`` counts full red+black sweeps, executed
-    in passes of up to 8 sweeps with the convergence check between passes.
+    ``cf`` is in the ``build_cf`` plane order (nc = 6 selects the quadratic
+    build) with identity padding rows, e.g. straight from the fused Pallas
+    assembly (ops.pallas.assemble); ``resid0`` is ||b||^2 over the true
+    grid; ``true_hw`` the true dims.  ``crop=False`` returns the padded
+    (hp, wp) solution planes (padded cells stay exactly zero: identity
+    equations, zero rhs, zero init), which the fused solver loop adds to
+    the zero-padded flow to keep the shared frame's invariant.
     """
-    from octane_tpu.ops.pallas.warp import interpret_mode
-
-    h, w = sysm.bu.shape
-    quad = jnp.ndim(sysm.a5) == 0
-    interp = interpret or interpret_mode()
+    nc, hp, wp = cf.shape
+    h, w = true_hw
+    quad = nc == 6
     f32 = jnp.float32
-    wp = -(-w // 256) * 256
 
     s_main = min(8, iters)
     n_main, s_rem = divmod(iters, s_main)
     ho = 8 if s_main <= 4 else 16
-    call_p, hp, _, _ = _build(h, wp, bool(quad), float(omega),
-                              interp, true_h=h, true_w=w, ho=ho)
+    call_p, hp2, _, _ = _build(hp, wp, bool(quad), float(omega),
+                               interpret, true_h=h, true_w=w, ho=ho)
+    assert hp2 == hp, (hp2, hp, "cf rows must be a multiple of the SOR band")
 
-    cf = build_cf(sysm, hp, wp, quad)
     zero2 = jnp.zeros((2, hp, wp), f32)
-    resid0 = (jnp.sum(sysm.bu * sysm.bu, dtype=f32)
-              + jnp.sum(sysm.bv * sysm.bv, dtype=f32))
 
     def run(x, ns):
         xn, res = call_p(jnp.array([0, 0, ns], jnp.int32), x, cf)
@@ -513,7 +524,37 @@ def sor_solve_fused(sysm, tol, iters: int, omega: float = 1.9,
         # HBM pass on converged systems)
         x = lax.cond(resid > tol, lambda x: run(x, s_rem)[0],
                      lambda x: x, x)
+    if not crop:
+        return x[0], x[1]
     return x[0, :h, :w], x[1, :h, :w]
+
+
+def sor_solve_fused(sysm, tol, iters: int, omega: float = 1.9,
+                    interpret: bool = False):
+    """Drop-in for flow.cg.sor_solve on TPU (single-device path).
+
+    ``sysm`` is a flow.stencil.StencilSystem (scalar off-diagonals select
+    the quadratic build); ``iters`` counts full red+black sweeps, executed
+    in passes of up to 8 sweeps with the convergence check between passes.
+    """
+    from octane_tpu.ops.pallas.warp import interpret_mode
+
+    h, w = sysm.bu.shape
+    quad = jnp.ndim(sysm.a5) == 0
+    interp = interpret or interpret_mode()
+    f32 = jnp.float32
+    wp = -(-w // 256) * 256
+
+    s_main = min(8, iters)
+    ho = 8 if s_main <= 4 else 16
+    _, hp, _, _ = _build(h, wp, bool(quad), float(omega),
+                         interp, true_h=h, true_w=w, ho=ho)
+
+    cf = build_cf(sysm, hp, wp, quad)
+    resid0 = (jnp.sum(sysm.bu * sysm.bu, dtype=f32)
+              + jnp.sum(sysm.bv * sysm.bv, dtype=f32))
+    return sor_solve_cf(cf, resid0, tol, iters, (h, w), omega=omega,
+                        interpret=interp)
 
 
 def pallas_sor_available(shape) -> bool:

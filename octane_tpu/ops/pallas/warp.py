@@ -281,6 +281,70 @@ def _sample_indices(u, v, h, w, hp, wp):
 _BIG = jnp.int32(1 << 30)
 
 
+def _stats_kernel(u_ref, v_ref, rmin_ref, rmax_ref, cmin_ref, cmax_ref,
+                  ef_ref, *, h, w, fh, fw, bh, wp, gw):
+    """Banded Pallas twin of ``_block_stats``: one grid step per bh-row band
+    computes the (gw,) per-block window stats of that band.
+
+    The XLA stats pass was measured ~3.6 ms/call at 5424^2 (multiple
+    materialized (hp, wp) int planes + the (gh, bh, gw, BW) reshape
+    reductions); this kernel streams u/v once (~0.3 ms HBM floor) and
+    reduces in VMEM.  Same integer math as ``_sample_indices`` +
+    ``_block_stats``, so the host-side dispatch sees identical stats."""
+    rb = pl.program_id(0)
+    i32 = jnp.int32
+    u = u_ref[...]
+    v = v_ref[...]
+    lj = jax.lax.broadcasted_iota(i32, (bh, wp), 0)
+    gj = rb * bh + lj
+    gi = jax.lax.broadcasted_iota(i32, (bh, wp), 1)
+    px = gi.astype(jnp.float32) + u
+    py_raw = gj.astype(jnp.float32) + v
+    px = jnp.where(px < 0.0, 0.0, jnp.where(px >= fw, float(fw - 1), px))
+    py = jnp.where(py_raw < 0.0, 0.0,
+                   jnp.where(py_raw >= fh, float(fh - 1), py_raw))
+    iv1 = jnp.minimum(px.astype(i32), fw - 2)
+    jv1 = jnp.minimum(py.astype(i32), fh - 2)
+    valid = (gj < h) & (gi < w)
+    rclamp = (py_raw < 0.0) | (py_raw >= fh)
+    rvalid = valid & ~rclamp
+    t_row = jv1 + bh - lj
+    t_col = iv1 + CPAD
+
+    big = 1 << 30
+
+    # rows reduce on the VPU; the per-128-lane-group reduction is a static
+    # loop of scalar SMEM writes (Mosaic cannot shape-cast lanes to
+    # sublanes), band rb owning row rb of each (gh, gw) SMEM output
+    for ref, x, mask, sentinel, red in (
+            (rmin_ref, t_row, rvalid, big, jnp.min),
+            (rmax_ref, t_row, rvalid, -big, jnp.max),
+            (cmin_ref, t_col, valid, big, jnp.min),
+            (cmax_ref, t_col, valid, -big, jnp.max),
+            (ef_ref, (rclamp & valid).astype(i32), True, 0, jnp.max)):
+        r = red(jnp.where(mask, x, sentinel), axis=0, keepdims=True)
+        for g in range(gw):
+            ref[rb, g] = red(r[:, 128 * g:128 * (g + 1)])
+
+
+@functools.lru_cache(maxsize=None)
+def _stats_build(h, w, fh, fw, bh, hp, wp):
+    gh, gw = hp // bh, wp // BW
+    kern = functools.partial(_stats_kernel, h=h, w=w, fh=fh, fw=fw,
+                             bh=bh, wp=wp, gw=gw)
+    spec = pl.BlockSpec((bh, wp), lambda r: (r, 0))
+    out = pl.BlockSpec((gh, gw), lambda r: (0, 0),
+                       memory_space=pltpu.SMEM)
+    return pl.pallas_call(
+        kern,
+        interpret=interpret_mode(),
+        grid=(gh,),
+        in_specs=[spec, spec],
+        out_specs=(out,) * 5,
+        out_shape=(jax.ShapeDtypeStruct((gh, gw), jnp.int32),) * 5,
+    )
+
+
 def _block_stats(jv1, iv1, vp, h, w, hp, wp, bh, fh=None):
     """Per-block window stats + row-clamped-pixel flags.
 
@@ -312,7 +376,7 @@ def _block_stats(jv1, iv1, vp, h, w, hp, wp, bh, fh=None):
 
 
 @functools.lru_cache(maxsize=None)
-def _build(k, h, w, dv, bh, hp, wp, fh=None, fw=None):
+def _build(k, h, w, dv, bh, hp, wp, fh=None, fw=None, crop=True):
     """Kernel with OUTPUT true dims (h, w), grid over padded dims (hp, wp),
     sampling a field of true dims (fh, fw) -- equal to (h, w) unless the
     caller samples a larger frame (a halo-padded shard block), in which
@@ -402,12 +466,15 @@ def _build(k, h, w, dv, bh, hp, wp, fh=None, fw=None):
     def run(fields, u, v):
         # accept either a raw (k, fh, fw) stack or one already padded
         padded = fields if fields.shape[-1] == cols_p else pad(fields)
-        jv1, iv1, up, vp = _sample_indices(u, v, fh, fw, hp, wp)
+        up = jnp.pad(u, ((0, hp - u.shape[0]), (0, wp - u.shape[1])))
+        vp = jnp.pad(v, ((0, hp - v.shape[0]), (0, wp - v.shape[1])))
         # per-block window origins from the minimum TRUE-region sample index
         # (8-aligned rows / 128-aligned cols): the full 2*dv - 7 row slack is
-        # available to the spread above the min
-        r_min, r_max, c_min, c_max, eflag = _block_stats(
-            jv1, iv1, vp, h, w, hp, wp, bh, fh)
+        # available to the spread above the min.  Computed by the banded
+        # Pallas stats kernel (same integer math as the XLA
+        # _sample_indices + _block_stats pair, ~7x cheaper).
+        r_min, r_max, c_min, c_max, eflag = _stats_build(
+            h, w, fh, fw, bh, hp, wp)(up, vp)
 
         def row_args(dv_b):
             src_h = bh + 2 * dv_b + 2
@@ -454,6 +521,12 @@ def _build(k, h, w, dv, bh, hp, wp, fh=None, fw=None):
 
         s, bx, by = jax.lax.cond(need3, lambda: dispatch(3),
                                  lambda: dispatch(2))
+        if not crop:
+            # fused-assembly path: hand the (k, hp, wp) padded planes
+            # straight to the Pallas assemble kernel (padded pixels are
+            # don't-cares there); skipping the crop keeps XLA from
+            # materializing a sliced copy of the 6-plane stack
+            return s, bx, by
         return s[:, :h, :w], bx[:h, :w], by[:h, :w]
 
     run.pad = pad
@@ -511,7 +584,8 @@ def pallas_warp_available(shape) -> bool:
     return h >= 32 and w >= 32
 
 
-def make_pallas_warp(shape, max_disp_v: int = DV, field_shape=None):
+def make_pallas_warp(shape, max_disp_v: int = DV, field_shape=None,
+                     pad_to=None, crop=True):
     """Warp sampler with the warp_bilinear_dense signature, or None.
 
     Displacement magnitude is unbounded (data-driven window origins);
@@ -520,6 +594,13 @@ def make_pallas_warp(shape, max_disp_v: int = DV, field_shape=None):
     blocks); positions must then be pre-shifted into the field frame, and
     the returned boundary flags refer to the FIELD edges (sharded callers
     compute their own global flags).
+
+    ``pad_to`` forces the padded grid dims (must be multiples of the block
+    dims) so the fused-assembly path can share one padded geometry with the
+    assemble and SOR kernels; ``crop=False`` returns the full (k, hp, wp)
+    padded planes (padded pixels are don't-cares).  u/v may then be passed
+    already padded to (hp, wp) with zeros (the internal pad becomes a
+    no-op), which is exactly what the fused solver loop maintains.
     """
     h, w = shape
     if not pallas_warp_available(shape):
@@ -527,13 +608,17 @@ def make_pallas_warp(shape, max_disp_v: int = DV, field_shape=None):
     fh, fw = shape if field_shape is None else field_shape
     dv = _round_dv(int(max_disp_v))
     bh = _pick_bh(h, dv)
-    hp = -(-h // bh) * bh
-    wp = -(-w // BW) * BW
+    if pad_to is None:
+        hp = -(-h // bh) * bh
+        wp = -(-w // BW) * BW
+    else:
+        hp, wp = pad_to
+        assert hp % bh == 0 and wp % BW == 0, (hp, wp, bh)
 
     def warp(fields, u, v):
         k = fields.shape[0]
-        return _build(k, h, w, dv, bh, hp, wp, fh, fw)(fields, u, v)
+        return _build(k, h, w, dv, bh, hp, wp, fh, fw, crop)(fields, u, v)
 
     warp.pad = lambda fields: _build(
-        fields.shape[0], h, w, dv, bh, hp, wp, fh, fw).pad(fields)
+        fields.shape[0], h, w, dv, bh, hp, wp, fh, fw, crop).pad(fields)
     return warp

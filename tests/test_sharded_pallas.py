@@ -27,6 +27,7 @@ def interpret_pallas(monkeypatch):
         cgmod._build.cache_clear()
         sormod._build.cache_clear()
         warpmod._build.cache_clear()
+        warpmod._stats_build.cache_clear()
         sh._warp_cache.clear()
         sh._sharded_program_cache.clear()
 

@@ -19,8 +19,10 @@ def interpret_pallas(monkeypatch):
 
     monkeypatch.setenv("OCTANE_PALLAS_INTERPRET", "1")
     warpmod._build.cache_clear()
+    warpmod._stats_build.cache_clear()
     yield
     warpmod._build.cache_clear()
+    warpmod._stats_build.cache_clear()
 
 
 def _need3(u, v, h, w):
@@ -129,3 +131,28 @@ def test_small_bucket_boundary_offset(interpret_pallas):
         "test must land exactly on the dispatch boundary"
     assert wm.row_spread_within_reach(u, v, (h, w))
     _parity(h, w, u, v)
+
+
+def test_stats_kernel_matches_xla_stats(interpret_pallas):
+    """The banded Pallas stats kernel (the per-call window-origin pass) must
+    reproduce _sample_indices + _block_stats exactly -- integer math, so
+    array_equal, including boundary-clamped rows, padding, and a field frame
+    larger than the output grid (the sharded halo case)."""
+    import octane_tpu.ops.pallas.warp as wm
+
+    rng = np.random.default_rng(11)
+    for (h, w, fh, fw) in [(100, 130, 100, 130), (64, 128, 64, 128),
+                           (200, 300, 220, 320)]:
+        bh = wm._pick_bh(h, wm._round_dv(wm.DV))
+        hp = -(-h // bh) * bh
+        wp = -(-w // wm.BW) * wm.BW
+        u = jnp.asarray(rng.normal(0, 5, (h, w)).astype(np.float32))
+        v = jnp.asarray(rng.normal(0, 5, (h, w)).astype(np.float32))
+        v = v.at[:3].add(-50.0).at[-3:].add(50.0)   # clamped rows (eflag)
+        jv1, iv1, up, vp = wm._sample_indices(u, v, fh, fw, hp, wp)
+        want = wm._block_stats(jv1, iv1, vp, h, w, hp, wp, bh, fh)
+        got = wm._stats_build(h, w, fh, fw, bh, hp, wp)(up, vp)
+        for name, a, b in zip(("rmin", "rmax", "cmin", "cmax", "ef"),
+                              want, got):
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b), err_msg=f"{name} {h}x{w}")
