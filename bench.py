@@ -122,11 +122,14 @@ def bench_hybrid(h, w, kiters, solver="sor"):
     program = flow_program(cfg, (h, w), 1)
     g1 = jnp.asarray(im1[None])
     g2 = jnp.asarray(im2[None])
-    z = jnp.zeros((h, w), jnp.float32)
-    pm = jax.jit(lambda a, b, u0, v0: patch_match_flow(a, b, u0, v0, 2, 2))
+    # the product -hybrid path runs patch-match WITHOUT a first guess (the
+    # slice-based fast path; the guessed-origin variant is sector-scale
+    # only, flow/patch_match.py guard) and feeds its flow to the
+    # variational refinement; inputs are varied per rep via the image
+    pm = jax.jit(lambda a, b: patch_match_flow(a, b, None, None, 2, 2))
 
     def run_one(i):
-        u0, v0 = pm(g1[0], g2[0], z + jnp.float32(i) * 1e-6, z)
+        u0, v0 = pm(g1[0], g2[0] + jnp.float32(i) * 1e-6)
         u, v = program(g1, g2, u0, v0)
         return u[0, 0]
 

@@ -41,7 +41,7 @@ def _weights_sigma(factor: float) -> float:
 
 
 def _catmull_matrix_1d(n_in: int, positions: np.ndarray,
-                       clamp_n: int = None) -> np.ndarray:
+                       clamp_n: int = None) -> jnp.ndarray:
     """(n_out, n_in) Catmull-Rom interpolation matrix for static positions.
 
     Weights follow oct_bicubic exactly: tap indices are (int)-truncated and
@@ -50,22 +50,43 @@ def _catmull_matrix_1d(n_in: int, positions: np.ndarray,
     Expressing static-position resampling as a matrix turns it into a
     matmul -- MXU work that XLA's SPMD partitioner shards natively.
 
+    The tap indices/weights are computed host-side exactly as before (tiny
+    (n_out, 4) constants) but the DENSE matrix is materialized on device
+    from iota equality masks: baking the (n_out, n_in) literal into the
+    program made full-disk modules gigabytes big (the 4-level 8192^2
+    program exceeded the compile-service request limit).  Tap-collision
+    accumulation order (clamped taps folding onto the edge sample) is
+    preserved by summing the o = -1..2 masks in order.
+
     ``clamp_n`` clamps taps to a TRUE extent < n_in when the input carries
     trailing mesh-divisibility padding (padded columns are never read).
     """
     n_out = len(positions)
     cn = n_in if clamp_n is None else clamp_n
-    m = np.zeros((n_out, n_in), np.float32)
+    taps = np.zeros((n_out, 4), np.int32)
+    wgts = np.zeros((n_out, 4), np.float32)
     for r, p in enumerate(positions):
-        taps = [min(max(int(np.trunc(p + o)), 0), cn - 1) for o in (-1, 0, 1, 2)]
-        x = np.float32(p) - np.float32(taps[1])
-        w0 = 0.5 * (-x + 2 * x * x - x ** 3)
-        w1 = 1.0 - 2.5 * x * x + 1.5 * x ** 3
-        w2 = 0.5 * (x + 4 * x * x - 3 * x ** 3)
-        w3 = 0.5 * (-x * x + x ** 3)
-        for t, wgt in zip(taps, (w0, w1, w2, w3)):
-            m[r, t] += wgt
+        t = [min(max(int(np.trunc(p + o)), 0), cn - 1) for o in (-1, 0, 1, 2)]
+        x = np.float32(p) - np.float32(t[1])
+        taps[r] = t
+        wgts[r] = (0.5 * (-x + 2 * x * x - x ** 3),
+                   1.0 - 2.5 * x * x + 1.5 * x ** 3,
+                   0.5 * (x + 4 * x * x - 3 * x ** 3),
+                   0.5 * (-x * x + x ** 3))
+    cols = jnp.arange(n_in, dtype=jnp.int32)[None, :]
+    tj = jnp.asarray(taps)
+    wj = jnp.asarray(wgts)
+    m = jnp.zeros((n_out, n_in), jnp.float32)
+    for o in range(4):
+        m = m + jnp.where(cols == tj[:, o:o + 1], wj[:, o:o + 1], 0.0)
     return m
+
+
+def _onehot_rows(idx: np.ndarray, n_in: int) -> jnp.ndarray:
+    """(n_out, n_in) one-hot selection matrix from static row indices,
+    materialized on device (see _catmull_matrix_1d on why not a literal)."""
+    cols = jnp.arange(n_in, dtype=jnp.int32)[None, :]
+    return (cols == jnp.asarray(idx, jnp.int32)[:, None]).astype(jnp.float32)
 
 
 def pyramid_downsample(img: jnp.ndarray, factor: float,
@@ -97,13 +118,9 @@ def pyramid_downsample(img: jnp.ndarray, factor: float,
                           / np.float32(factor)).astype(np.int64), 0, tw - 1)
     jj = np.clip(np.trunc(np.minimum(np.arange(nyy), tny - 1).astype(np.float32)
                           / np.float32(factor)).astype(np.int64), 0, th - 1)
-    sy = np.zeros((nyy, h), np.float32)
-    sy[np.arange(nyy), jj] = 1.0
-    sx = np.zeros((nxx, w), np.float32)
-    sx[np.arange(nxx), ii] = 1.0
-    out = jnp.einsum("yh,...hw->...yw", jnp.asarray(sy), blurred,
+    out = jnp.einsum("yh,...hw->...yw", _onehot_rows(jj, h), blurred,
                      preferred_element_type=jnp.float32)
-    return jnp.einsum("xw,...yw->...yx", jnp.asarray(sx), out,
+    return jnp.einsum("xw,...yw->...yx", _onehot_rows(ii, w), out,
                       preferred_element_type=jnp.float32)
 
 
@@ -131,8 +148,8 @@ def zoom_in_flow(flow: jnp.ndarray, new_hw, scale_factor: float,
     jjs = np.minimum(np.arange(nyy), toh - 1).astype(np.float32)
     i2 = (iis / fx) - (np.float32(0.5) - np.float32(0.5) / fx)
     j2 = (jjs / fy) - (np.float32(0.5) - np.float32(0.5) / fy)
-    ry = jnp.asarray(_catmull_matrix_1d(h, j2, clamp_n=tih))
-    rx = jnp.asarray(_catmull_matrix_1d(w, i2, clamp_n=tiw))
+    ry = _catmull_matrix_1d(h, j2, clamp_n=tih)
+    rx = _catmull_matrix_1d(w, i2, clamp_n=tiw)
     out = jnp.einsum("yh,...hw->...yw", ry, flow,
                      preferred_element_type=jnp.float32)
     out = jnp.einsum("xw,...yw->...yx", rx, out,

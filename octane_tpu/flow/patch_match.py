@@ -127,7 +127,8 @@ def _patch_match_local(g1, g2, rad, srad, h, w, gy0=0, gx0=0, halo=0):
     be halo-padded by ``rad`` and ``rad + srad + 1`` respectively (global
     edge replication reproduces the reference's clamped reads exactly).
     ``(gy0, gx0)``/(h, w) are the block's global origin / the global dims
-    (used only for the clamped probe gathers).
+    (used by the sector-scale gather probes' clamping; the full-disk
+    slice/select refine needs only the halo-padded blocks).
     """
     smax = rad + srad + 1
     if halo == 0:
@@ -138,37 +139,97 @@ def _patch_match_local(g1, g2, rad, srad, h, w, gy0=0, gx0=0, halo=0):
     hl = g1p.shape[0] - 2 * rad
     wl = g1p.shape[1] - 2 * rad
 
-    def cost_slices(n, m):
-        acc = None
-        for k in range(-rad, rad + 1):
-            for l in range(-rad, rad + 1):
-                t1 = g1p[rad + l:rad + l + hl, rad + k:rad + k + wl]
-                t2 = lax.dynamic_slice(
-                    g2p, (smax + l + m, smax + k + n), (hl, wl))
-                d = t2 - t1
-                acc = d * d if acc is None else acc + d * d
-        return acc
+    if hl * wl <= FIRST_GUESS_MAX_PIXELS:
+        def cost_slices(n, m):
+            acc = None
+            for k in range(-rad, rad + 1):
+                for l in range(-rad, rad + 1):
+                    t1 = g1p[rad + l:rad + l + hl, rad + k:rad + k + wl]
+                    t2 = lax.dynamic_slice(
+                        g2p, (smax + l + m, smax + k + n), (hl, wl))
+                    d = t2 - t1
+                    acc = d * d if acc is None else acc + d * d
+            return acc
+    else:
+        # Full-disk scale: every tap of the (n, m) cost plane is a shifted
+        # window of ONE squared-diff plane e^2 where
+        # e(y, x) = g2p[y + m + (smax-rad), x + n + (smax-rad)] - g1p[y, x]
+        # (each term equals the per-tap t2 - t1 elementwise, summed in the
+        # same k-major order) -- ~2.7x fewer plane ops per cost
+        # evaluation.  Used only above the sector-scale guard: the
+        # unfactored form's mul-add chain may FMA-contract, and the
+        # sector-scale path's bit-equality contract with the gather
+        # first-guess path depends on matching it exactly.
+        def cost_slices(n, m):
+            e = lax.dynamic_slice(
+                g2p, (smax - rad + m, smax - rad + n),
+                (hl + 2 * rad, wl + 2 * rad)) - g1p
+            e2 = e * e
+            acc = None
+            for k in range(-rad, rad + 1):
+                for l in range(-rad, rad + 1):
+                    t = e2[rad + l:rad + l + hl, rad + k:rad + k + wl]
+                    acc = t if acc is None else acc + t
+            return acc
 
     _, nmin, mmin = _spiral_argmin(cost_slices, srad)
 
-    # probes: per-pixel dynamic offsets -> clamped gathers on the local
-    # padded blocks (indices stay inside the halo: |probe| <= srad+1)
-    ii = gx0 + jnp.arange(wl, dtype=jnp.int32)[None, :]
-    jj = gy0 + jnp.arange(hl, dtype=jnp.int32)[:, None]
+    if hl * wl <= FIRST_GUESS_MAX_PIXELS:
+        # Sector scale: per-pixel clamped GATHER probes, structurally
+        # identical to the first-guess path's cost fn, which is what makes
+        # the u0=None fast path bit-equal to the u0=zeros gather path
+        # (tests/test_patch_match.py::test_fast_path_matches_gather_path).
+        ii = gx0 + jnp.arange(wl, dtype=jnp.int32)[None, :]
+        jj = gy0 + jnp.arange(hl, dtype=jnp.int32)[:, None]
 
-    def probe_cost(n, m):
-        acc = None
-        for k in range(-rad, rad + 1):
-            for l in range(-rad, rad + 1):
-                x1 = jnp.clip(ii + k, 0, w - 1) - gx0 + rad
-                y1 = jnp.clip(jj + l, 0, h - 1) - gy0 + rad
-                x2 = jnp.clip(ii + (k + n), 0, w - 1) - gx0 + smax
-                y2 = jnp.clip(jj + (l + m), 0, h - 1) - gy0 + smax
-                d = g2p[y2, x2] - g1p[y1, x1]
-                acc = d * d if acc is None else acc + d * d
-        return acc
+        def probe_cost(n, m):
+            acc = None
+            for k in range(-rad, rad + 1):
+                for l in range(-rad, rad + 1):
+                    x1 = jnp.clip(ii + k, 0, w - 1) - gx0 + rad
+                    y1 = jnp.clip(jj + l, 0, h - 1) - gy0 + rad
+                    x2 = jnp.clip(ii + (k + n), 0, w - 1) - gx0 + smax
+                    y2 = jnp.clip(jj + (l + m), 0, h - 1) - gy0 + smax
+                    d = g2p[y2, x2] - g1p[y1, x1]
+                    acc = d * d if acc is None else acc + d * d
+            return acc
 
-    return _finish(nmin, mmin, probe_cost)
+        return _finish(nmin, mmin, probe_cost)
+
+    # Full-disk scale (no gather twin exists here -- the first-guess path
+    # refuses above the guard): the refine probes only ever need the cost
+    # at 2*(srad+1)+1 squared static offsets, so evaluate each ONCE
+    # through the same slice path as the spiral and per-pixel SELECT.  A
+    # fori_loop (like the spiral) rather than a Python unroll: the
+    # unrolled gather probes kept 25 full-field gather temps live per
+    # probe (the select unroll additionally let XLA remat-clone the pad
+    # concats into every consumer fusion, 23.8 GB requested at 8192^2);
+    # the loop carry bounds liveness at the 5 accumulators + one plane.
+    probes = ((0, 0), (1, 0), (-1, 0), (0, 1), (0, -1))   # c0, su1, su2,
+    s1 = srad + 1                                         # sv1, sv2
+    # the probe pattern is cross-shaped, so the 4 corner offsets
+    # (|n| = |m| = srad+1) can never be selected -- skip them
+    offs = jnp.asarray([(n, m)
+                        for n in range(-s1, s1 + 1)
+                        for m in range(-s1, s1 + 1)
+                        if not (abs(n) == s1 and abs(m) == s1)], jnp.int32)
+
+    def refine_body(t, accs):
+        n = offs[t, 0]
+        m = offs[t, 1]
+        c = cost_slices(n, m)
+        out = []
+        for a, (dn, dm) in zip(accs, probes):
+            sel = (nmin + dn == n) & (mmin + dm == m)
+            out.append(jnp.where(sel, c, a))
+        return tuple(out)
+
+    zero = jnp.zeros((hl, wl), jnp.float32)
+    c0, su1, su2, sv1, sv2 = lax.fori_loop(
+        0, len(offs), refine_body, (zero,) * 5)
+    u = _refine(nmin, c0, su1, su2)
+    v = _refine(mmin, c0, sv1, sv2)
+    return u, v
 
 
 # The first-guess path materializes (2*rad+1)^2 * (2*srad+1)^2 full-field

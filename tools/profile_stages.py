@@ -160,6 +160,34 @@ def main():
         results[name] = dt
         print(f"{name:24s} {dt*1e3:9.1f} ms/call")
 
+    # ---- fused Pallas assembly (warp -> assemble kernel, the production
+    # SOR-path chain; includes the in-kernel resid0 and rdet) --------------
+    from octane_tpu.ops.pallas.assemble import (fused_geometry,
+                                                make_fused_assemble)
+    ps = fused_geometry((h, w), args.cgiters)
+    hp, wp_ = ps
+    wf_f = make_pallas_warp((h, w), pad_to=ps, crop=False)
+    if wf_f is not None:
+        st_f = wf_f.pad(stack6)
+        g1s = jnp.pad(jnp.concatenate([img, img, img], axis=0),
+                      ((0, 0), (0, hp - h), (0, wp_ - w)))
+        u_p = jnp.pad(u, ((0, hp - h), (0, wp_ - w)))
+        v_p = jnp.pad(v, ((0, hp - h), (0, wp_ - w)))
+        for name, quad in (("fused_asm_robust", False),
+                           ("fused_asm_quad", True)):
+            a = make_fused_assemble((h, w), ps, 1, quad, True)
+
+            def fasm(stk, g1p, uu, vv, _a=a):
+                smp, bcx, bcy = wf_f(stk, uu, vv)
+                cf, r0 = _a(jnp.float32(0.5), jnp.float32(0.0),
+                            jnp.float32(5.0), jnp.float32(0.2),
+                            g1p, smp, bcx, bcy, uu, vv, uu, vv)
+                return jnp.sum(cf[0]) + r0
+            fn = jax.jit(fasm)
+            dt = timed(fn, (st_f, g1s, u_p, v_p), k=4)
+            results[name] = dt
+            print(f"{name:24s} {dt*1e3:9.1f} ms/call (incl. warp)")
+
     # ---- resample ----------------------------------------------------------
     f = 0.5
     fn = jax.jit(lambda a: jnp.sum(pyramid_downsample(a, f)))
@@ -196,8 +224,12 @@ def main():
                                      ("pcg", "fused_cg_quad",
                                       "fused_cg_robust")):
             cg = (results[key_q] * 3 + results[key_r] * 6) * lvl
-            asm = (results["assemble_quad"] * 3 +
-                   results["assemble_robust"] * 6) * lvl
+            # the SOR path runs the fused Pallas assembly when available
+            if solver == "sor" and "fused_asm_robust" in results:
+                aq, ar = results["fused_asm_quad"], results["fused_asm_robust"]
+            else:
+                aq, ar = results["assemble_quad"], results["assemble_robust"]
+            asm = (aq * 3 + ar * 6) * lvl
             wrp = results.get("pallas_warp", results["xla_warp"]) * inner * lvl
             print(f"implied[{solver}]: solve={cg*1e3:.0f} ms  "
                   f"assemble(incl warp)={asm*1e3:.0f} ms  "
